@@ -1,0 +1,161 @@
+"""URL canonicalization + hashing (frontier key discipline).
+
+The reference canonicalizes crawl keys ad-hoc (city-code fixups repeated in
+three spiders: /root/reference/spiders/ctripSpider.py:141-146,
+ylSpider06.py:216-221, ctripSpider02.py:147-152; airport aliasing map
+ctripSpider.py:56-70) and quotes/unquotes URLs per-row
+(ylSpider06.py:185,251). Our engine replaces that with one RFC 3986
+canonicalizer applied exactly once at frontier-insert time, so every
+downstream operator (seen-set anti-join, politeness grouping, partitioning)
+keys on a stable 64-bit ``xxhash64(url_canonical)``.
+
+Canonicalization rules (RFC 3986 §6):
+  * strip surrounding whitespace and the fragment
+  * lowercase scheme and host; default scheme ``http`` if missing but
+    host-shaped; strip default ports (http:80, https:443)
+  * remove dot-segments from the path (§5.2.4); empty path -> "/"
+  * percent-decode unreserved characters; uppercase remaining %XX
+  * collapse ``www.`` is NOT done (changes identity); host aliasing is a
+    separate broadcast-dim operator (operators/aliases.py analogue of the
+    reference's two-airport map).
+
+The canonicalizer is a pure function of the input string -> idempotent
+(property-tested), exposed as an Arrow-batched pandas UDF (input_hint:
+no per-row Python UDFs).
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urlsplit, urlunsplit
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+_UNRESERVED = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_PCT_RE = re.compile(r"%([0-9A-Fa-f]{2})")
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def _normalize_percent(s: str) -> str:
+    """Decode %XX for unreserved chars, uppercase the hex of the rest."""
+
+    def repl(m: re.Match[str]) -> str:
+        ch = chr(int(m.group(1), 16))
+        if ch in _UNRESERVED:
+            return ch
+        return "%" + m.group(1).upper()
+
+    return _PCT_RE.sub(repl, s)
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 remove_dot_segments."""
+    out: list[str] = []
+    buf = path
+    while buf:
+        if buf.startswith("../"):
+            buf = buf[3:]
+        elif buf.startswith("./"):
+            buf = buf[2:]
+        elif buf.startswith("/./"):
+            buf = "/" + buf[3:]
+        elif buf == "/.":
+            buf = "/"
+        elif buf.startswith("/../"):
+            buf = "/" + buf[4:]
+            if out:
+                out.pop()
+        elif buf == "/..":
+            buf = "/"
+            if out:
+                out.pop()
+        elif buf in (".", ".."):
+            buf = ""
+        else:
+            i = buf.find("/", 1) if buf.startswith("/") else buf.find("/")
+            if i == -1:
+                out.append(buf)
+                buf = ""
+            else:
+                out.append(buf[:i])
+                buf = buf[i:]
+    return "".join(out)
+
+
+def canonicalize_one(url: str | None) -> str | None:
+    """Canonicalize a single URL string. Pure; idempotent; never raises."""
+    if url is None:
+        return None
+    u = url.strip()
+    if not u:
+        return ""
+    if "://" not in u:
+        u = "http://" + u
+    try:
+        parts = urlsplit(u)
+    except ValueError:
+        return u  # unparseable: pass through verbatim (quarantined later)
+    scheme = parts.scheme.lower()
+    host = (parts.hostname or "").lower()
+    host = _normalize_percent(host)
+    port = None
+    try:
+        port = parts.port
+    except ValueError:
+        port = None
+    netloc = host
+    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
+        netloc = f"{host}:{port}"
+    path = _normalize_percent(_remove_dot_segments(parts.path))
+    if not path:
+        path = "/"
+    query = _normalize_percent(parts.query)
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+def host_of_one(url: str | None) -> str | None:
+    """Lowercased host of a URL (assumes canonical or raw; tolerant)."""
+    if url is None:
+        return None
+    u = url.strip()
+    if "://" not in u:
+        u = "http://" + u
+    try:
+        return (urlsplit(u).hostname or "").lower()
+    except ValueError:
+        return ""
+
+
+@pandas_udf(StringType())
+def canonicalize_url(urls: pd.Series) -> pd.Series:
+    """Vectorized RFC 3986 canonicalization (Arrow-batched)."""
+    return urls.map(canonicalize_one, na_action="ignore")
+
+
+@pandas_udf(StringType())
+def url_host(urls: pd.Series) -> pd.Series:
+    """Vectorized host extraction (Arrow-batched)."""
+    return urls.map(host_of_one, na_action="ignore")
+
+
+def url_hash_col(col):
+    """64-bit frontier key: JVM-side xxhash64 over the canonical URL.
+
+    Stays inside whole-stage codegen — never a Python UDF (SURVEY.md §2.8:
+    the reference's implicit sha1 request fingerprint becomes xxhash64).
+    """
+    return F.xxhash64(col)
+
+
+def with_url_keys(df, url_col: str = "url"):
+    """Attach (url_canonical, host, url_hash) — the standard key triple."""
+    return (
+        df.withColumn("url_canonical", canonicalize_url(F.col(url_col)))
+        .withColumn("host", url_host(F.col("url_canonical")))
+        .withColumn("url_hash", url_hash_col(F.col("url_canonical")))
+    )
