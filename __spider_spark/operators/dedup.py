@@ -1,0 +1,189 @@
+"""Deduplication family for web-scale corpora.
+
+The crawl engine dedups URLs (operators/seen.py); a training-data pipeline
+must also dedup *content*. Four operators, all shuffle-conscious:
+
+  * exact_dedup        — hash-groupBy on a content fingerprint (1 shuffle)
+  * minhash_signatures — word-shingle MinHash, JVM-side md5-derived hashes
+  * lsh_candidate_pairs— banded LSH: same-band equi-join (shuffle on small
+                          band keys, never O(n²))
+  * ngram_jaccard_pairs— exact Jaccard via shingle equi-join + count ratio
+  * simhash            — 60-bit SimHash via per-bit majority vote
+
+Everything is built from pyspark.sql.functions (no Python in the hot path);
+the hash is the md5-prefix ``hash60`` so the DuckDB oracle can reproduce
+values bit-for-bit (see functions/textstats.py).
+
+Scale notes: MinHash/LSH is the 100 TB path — the shingle explosion is
+map-side, signatures are one groupBy(doc), candidate pairs are an equi-join
+on (band_idx, band_hash) whose fan-out is bounded by collision-group sizes;
+a skewed band (boilerplate docs) is handled by AQE skew-join splitting.
+Exact Jaccard is reserved for verifying candidate pairs, never all pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.textstats import hash60, tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one representative (min id) per exact-text group.
+    Output: (id, fingerprint, dup_count)."""
+    h = F.md5(F.col(text_col)).alias("fingerprint")
+    return (
+        df.select(F.col(id_col).alias("keep_id"), h)
+        .groupBy("fingerprint")
+        .agg(F.min("keep_id").alias("keep_id"),
+             F.count("*").alias("dup_count"))
+    )
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Word k-shingles of the text: array of space-joined k-grams.
+    Docs shorter than k tokens get a single shingle = whole text."""
+    toks = tokens(col)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.transform(
+        starts, lambda i: F.concat_ws(" ", F.slice(toks, i, k))
+    )
+
+
+def shingles_sql(expr: str, k: int = 3) -> str:
+    """DuckDB twin of ``shingles`` (list slicing is 1-based inclusive)."""
+    toks = (
+        f"CASE WHEN lower(trim({expr})) = '' THEN []::VARCHAR[] "
+        f"ELSE regexp_split_to_array(lower(trim({expr})), '\\s+') END"
+    )
+    return (
+        f"list_transform(range(1, greatest(len({toks}) - {k - 1}, 1) + 1), "
+        f"i -> array_to_string(({toks})[i:i+{k - 1}], ' '))"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str,
+    n_hashes: int = 16, k: int = 3,
+) -> DataFrame:
+    """MinHash signature per doc: sig[j] = min over shingles of
+    hash60(j || ':' || shingle). Output: (doc_id, sig array<long>).
+
+    One explode (map-side) + one groupBy(doc_id) shuffle; n_hashes mins are
+    computed as a single aggregate pass."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"),
+    )
+    mins = [
+        F.min(hash60(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"h{j}")
+        for j in range(n_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{j}") for j in range(n_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, n_bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """Banded LSH over MinHash signatures: docs sharing any band collide.
+    Output: distinct (doc_a, doc_b) with doc_a < doc_b.
+
+    The self-join is an equi-join on (band, band_key) — the only shuffle is
+    on band keys; no cartesian anywhere."""
+    bands = sig_df.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.md5(F.concat_ws(
+                    ",", *[F.col("sig")[b * rows_per_band + r].cast("string")
+                           for r in range(rows_per_band)]))
+                for b in range(n_bands)
+            ])
+        ).alias("band", "band_key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str,
+    k: int = 3, threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard over distinct k-shingles.
+
+    |A∩B| comes from a shingle equi-join (never a cartesian);
+    |A∪B| = |A|+|B|-|A∩B|. If ``candidates`` (doc_a, doc_b) is given —
+    normally the LSH output — only those pairs are scored (the 100 TB path:
+    LSH candidates → exact verify)."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") /
+                    (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str,
+            n_bits: int = 60) -> DataFrame:
+    """60-bit SimHash: per bit position, majority vote of token-hash bits
+    (+1/-1), weighted by token frequency. Output: (doc_id, simhash long).
+
+    Two shuffles: groupBy(doc, pos) then groupBy(doc); the bit explosion is
+    map-side. 60 bits (not 64) keeps the value positive in a signed long
+    identically in Spark and DuckDB."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).withColumn("th", hash60(F.col("tok")))
+    bits = tok.select(
+        "doc_id", "th",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("pos"),
+    ).withColumn(
+        # pyspark's shiftright() helper only takes a literal shift; the SQL
+        # function accepts a column expression
+        "contrib",
+        F.when(F.expr("(shiftright(th, pos) & 1) = 1"),
+               F.lit(1)).otherwise(F.lit(-1)),
+    )
+    votes = bits.groupBy("doc_id", "pos").agg(F.sum("contrib").alias("v"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), pos)"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )

@@ -1,0 +1,108 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, mirroring a production ANN layout:
+
+  * ``cosine_topk``      — brute-force exact top-k against a query vector;
+    the dot product is JVM-side ``aggregate(zip_with(...))`` (no UDF, no
+    collect of the embedding table). This is the correctness baseline and
+    the final re-rank stage.
+  * ``lsh_bucket_topk``  — random-hyperplane LSH (sign sketches) bucketing;
+    only the query's bucket (plus optional neighboring probes) is scanned.
+    The hyperplanes are derived deterministically from md5, so results are
+    reproducible across cluster sizes. This is the 100 TB scale path: the
+    bucket join prunes the scan by ~2^n_planes.
+
+Both compute in double precision and round to 4 dp so rankings are stable
+across engines (the DuckDB oracle uses list_cosine_similarity on DOUBLE[]).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_sim_col(emb_col, query: list[float]):
+    """round(cosine(emb, query), 4) as a pure Column expression."""
+    a = F.transform(emb_col, lambda x: x.cast("double"))
+    q = F.array(*[F.lit(float(v)) for v in query])
+    return F.round(_dot(a, q) / (_norm(a) * _norm(q)), 4)
+
+
+def cosine_topk(
+    emb_df: DataFrame, query: list[float], k: int = 10,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine similarity; deterministic tie-break on id."""
+    df = emb_df
+    if exclude_id is not None:
+        df = df.filter(F.col(id_col) != exclude_id)
+    scored = df.select(
+        F.col(id_col), cosine_sim_col(F.col(emb_col), query).alias("cosine_sim")
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()) \
+                 .limit(k)
+
+
+def _hyperplane(dim: int, plane: int, seed: int = 42) -> list[float]:
+    """Deterministic pseudo-random unit hyperplane from md5 (no RNG state)."""
+    vals = []
+    for d in range(dim):
+        h = hashlib.md5(f"{seed}:{plane}:{d}".encode()).hexdigest()
+        u = int(h[:15], 16) / float(1 << 60)  # [0,1)
+        vals.append(2.0 * u - 1.0)
+    n = math.sqrt(sum(v * v for v in vals)) or 1.0
+    return [v / n for v in vals]
+
+
+def lsh_bucket_id(emb_col, dim: int, n_planes: int = 8, seed: int = 42):
+    """Sign-sketch bucket id: bit p = (emb · plane_p) >= 0."""
+    a = F.transform(emb_col, lambda x: x.cast("double"))
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p, seed)])
+        bit = F.when(_dot(a, plane) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket + F.shiftleft(bit.cast("long"), p)
+    return bucket
+
+
+def lsh_bucket_topk(
+    emb_df: DataFrame, query: list[float], k: int = 10,
+    n_planes: int = 8, id_col: str = "vec_id", emb_col: str = "embedding",
+    exclude_id: int | None = None, multiprobe: int = 0,
+) -> DataFrame:
+    """Approximate top-k: scan only vectors in the query's LSH bucket
+    (plus ``multiprobe`` Hamming-1 neighbor buckets)."""
+    dim = len(query)
+    df = emb_df.withColumn(
+        "__bucket", lsh_bucket_id(F.col(emb_col), dim, n_planes))
+    qb = 0
+    for p in range(n_planes):
+        plane = _hyperplane(dim, p)
+        dot = sum(float(q) * v for q, v in zip(query, plane))
+        qb |= (1 if dot >= 0 else 0) << p
+    probes = [qb] + [qb ^ (1 << p) for p in range(min(multiprobe, n_planes))]
+    cand = df.filter(F.col("__bucket").isin(probes)).drop("__bucket")
+    if exclude_id is not None:
+        cand = cand.filter(F.col(id_col) != exclude_id)
+    scored = cand.select(
+        F.col(id_col), cosine_sim_col(F.col(emb_col), query).alias("cosine_sim")
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()) \
+                 .limit(k)

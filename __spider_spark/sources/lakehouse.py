@@ -1,0 +1,111 @@
+"""Snapshot lakehouse: atomic multi-table commits over parquet.
+
+The north_rule asks for Iceberg tables; this sandbox ships no Iceberg runtime
+jar (pip/apt installs are disallowed), so this module re-implements the two
+Iceberg properties the crawl engine actually depends on, with the same
+mental model (snapshot = manifest of immutable data files):
+
+1. **Atomic multi-table commit** — one crawl round appends/replaces several
+   tables (``frontier``, ``seen``, ``results``, ``metrics``) and either ALL
+   of them advance or NONE (reference analogue: the CSV + ``LOAD DATA`` +
+   row-count-loss-audit batch at /root/reference/YlTwistPipeline.py:153-176,
+   which is *not* atomic — its loss check exists because it isn't).
+2. **Snapshot isolation / time travel** — readers see the last committed
+   manifest; a crashed round leaves orphan data dirs that no manifest
+   references, so restart resumes from the previous snapshot unchanged
+   (restart equivalence, SURVEY.md §7 milestone 5).
+
+Layout::
+
+    root/
+      _manifests/v000001.json   # {"round": k, "tables": {name: [data dirs]}}
+      _manifests/LATEST         # text file: "v000001" (os.replace = atomic)
+      <table>/<uuid>/part-*.parquet
+
+On a real cluster swap this class for an Iceberg catalog: ``commit`` becomes
+a single multi-table transaction (or one table with a ``round`` column +
+WAP pattern), ``read`` becomes ``spark.read.table``; the engine code in
+plans/crawl.py only touches this interface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Lakehouse:
+    def __init__(self, root: str | os.PathLike[str]) -> None:
+        self.root = Path(root)
+        (self.root / "_manifests").mkdir(parents=True, exist_ok=True)
+
+    # -- snapshot plumbing ------------------------------------------------
+    def _latest_version(self) -> int:
+        p = self.root / "_manifests" / "LATEST"
+        if not p.exists():
+            return 0
+        return int(p.read_text().strip().lstrip("v"))
+
+    def _manifest_path(self, version: int) -> Path:
+        return self.root / "_manifests" / f"v{version:06d}.json"
+
+    def snapshot(self) -> dict:
+        v = self._latest_version()
+        if v == 0:
+            return {"round": -1, "tables": {}}
+        return json.loads(self._manifest_path(v).read_text())
+
+    def latest_round(self) -> int:
+        return int(self.snapshot()["round"])
+
+    # -- IO ----------------------------------------------------------------
+    def _write_data(self, df: DataFrame, table: str) -> str:
+        d = self.root / table / uuid.uuid4().hex
+        df.write.mode("overwrite").parquet(str(d))
+        return str(d.relative_to(self.root))
+
+    def commit(
+        self,
+        round_id: int,
+        append: dict[str, DataFrame] | None = None,
+        replace: dict[str, DataFrame] | None = None,
+        props: dict | None = None,
+    ) -> None:
+        """Atomically advance all tables: write data dirs first, then publish
+        one manifest via atomic rename. A crash before the final ``os.replace``
+        leaves the previous snapshot intact."""
+        snap = self.snapshot()
+        tables: dict[str, list[str]] = {
+            k: list(v) for k, v in snap["tables"].items()
+        }
+        for name, df in (replace or {}).items():
+            tables[name] = [self._write_data(df, name)]
+        for name, df in (append or {}).items():
+            tables.setdefault(name, []).append(self._write_data(df, name))
+        v = self._latest_version() + 1
+        manifest = {"round": round_id, "tables": tables, "props": props or {}}
+        mp = self._manifest_path(v)
+        tmp = mp.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(manifest, indent=1))
+        os.replace(tmp, mp)
+        latest_tmp = self.root / "_manifests" / f".LATEST.{uuid.uuid4().hex}"
+        latest_tmp.write_text(f"v{v:06d}")
+        os.replace(latest_tmp, self.root / "_manifests" / "LATEST")
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame | None:
+        """Read a table at the latest snapshot (None if never committed)."""
+        dirs = self.snapshot()["tables"].get(table)
+        if not dirs:
+            return None
+        return spark.read.parquet(*[str(self.root / d) for d in dirs])
+
+    def has_table(self, table: str) -> bool:
+        return bool(self.snapshot()["tables"].get(table))
+
+    def destroy(self) -> None:
+        shutil.rmtree(self.root, ignore_errors=True)

@@ -1,0 +1,133 @@
+"""Dedup family, similarity search, text stats, multimodal plumbing."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from __spider_spark.functions.textstats import (
+    fingerprint,
+    lang_guess,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from __spider_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from __spider_spark.operators.multimodal import decode_features, synth_media
+from __spider_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog again and again"),
+    (1, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup
+    (2, "the quick brown fox jumps over the lazy cat again and again"),  # near dup
+    (3, "completely different content about spark shuffle partitions"),
+    (4, "one"),                                                          # tiny
+    (5, ""),                                                             # empty
+    (6, "el perro que corre la calle de madrid"),                        # es
+    (7, "这 是 一个 中文 文档 关于 爬虫"),                                  # zh
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark), "text", "doc_id")
+    assert out.count() == 7  # 0 and 1 collapse
+    dup = out.filter(F.col("dup_count") == 2).collect()
+    assert len(dup) == 1 and dup[0].keep_id == 0
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    sig = minhash_signatures(_docs(spark), "text", "doc_id", n_hashes=16)
+    assert sig.count() == 8  # even the empty doc gets a ("" shingle) signature
+    row = {r.doc_id: r.sig for r in sig.collect()}
+    assert row[0] == row[1]  # exact dups -> identical signatures
+    pairs = {(r.doc_a, r.doc_b)
+             for r in lsh_candidate_pairs(sig, 4, 4).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup collides somewhere
+    assert (0, 3) not in pairs
+
+
+def test_ngram_jaccard(spark):
+    out = {(r.doc_a, r.doc_b): r.jaccard
+           for r in ngram_jaccard_pairs(_docs(spark), "text", "doc_id",
+                                        threshold=0.3).collect()}
+    assert out[(0, 1)] == 1.0
+    assert 0.3 <= out[(0, 2)] < 1.0
+    assert (0, 3) not in out
+
+
+def test_simhash_near_dup_small_hamming(spark):
+    out = {r.doc_id: r.simhash for r in
+           simhash(_docs(spark), "text", "doc_id").collect()}
+    assert out[0] == out[1]
+    ham_near = bin(out[0] ^ out[2]).count("1")
+    ham_far = bin(out[0] ^ out[3]).count("1")
+    assert ham_near < ham_far
+    assert all(v >= 0 for v in out.values())  # 60-bit stays positive
+
+
+def test_textstats(spark):
+    df = _docs(spark).select(
+        "doc_id",
+        token_count(F.col("text")).alias("tc"),
+        stopword_ratio(F.col("text")).alias("sr"),
+        quality_score(F.col("text")).alias("q"),
+        lang_guess(F.col("text")).alias("lang"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    rows = {r.doc_id: r for r in df.collect()}
+    assert rows[0].tc == 12 and rows[5].tc == 0
+    assert rows[0].sr > 0.2 and rows[5].sr == 0.0
+    assert rows[0].q > rows[5].q
+    assert rows[7].lang == "zh" and rows[6].lang == "es" \
+        and rows[3].lang == "en"
+    assert rows[0].fp == rows[1].fp and rows[0].fp != rows[2].fp
+    assert rows[0].fp >= 0
+
+
+def test_cosine_topk_and_lsh_subset(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    query = [float(x) for x in q]
+    exact = cosine_topk(emb, query, k=10, exclude_id=0)
+    rows = exact.collect()
+    assert len(rows) == 10
+    sims = [r.cosine_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    assert all(-1.0001 <= s <= 1.0001 for s in sims)
+    # LSH path returns a subset of the bucket, still ranked correctly,
+    # and self-consistent across two runs (deterministic hyperplanes)
+    a1 = [r.vec_id for r in lsh_bucket_topk(emb, query, k=10, n_planes=6,
+                                            exclude_id=0).collect()]
+    a2 = [r.vec_id for r in lsh_bucket_topk(emb, query, k=10, n_planes=6,
+                                            exclude_id=0).collect()]
+    assert a1 == a2 and len(a1) > 0
+
+
+def test_multimodal_plumbing(spark):
+    media = synth_media(spark, 50)
+    assert media.count() == 50
+    # without the env gate, decode reports codec_missing (NotImplemented path)
+    os.environ.pop("SPIDER_SPARK_FAKE_DECODE", None)
+    out = decode_features(media)
+    assert out.filter(F.col("note") == "codec_missing").count() == 50
+    # with the deterministic fake, features appear and are stable
+    os.environ["SPIDER_SPARK_FAKE_DECODE"] = "1"
+    try:
+        feats = decode_features(media).filter(F.col("note") == "ok")
+        assert feats.count() == 50
+        f0 = feats.filter(F.col("media_id") == 0).first().feature
+        assert len(f0) == 8 and all(0.0 <= v <= 1.0 for v in f0)
+    finally:
+        os.environ.pop("SPIDER_SPARK_FAKE_DECODE", None)

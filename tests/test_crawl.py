@@ -1,0 +1,138 @@
+"""End-to-end crawl rounds: reference equivalence (north_rule), restart
+equivalence, lakehouse atomicity (SURVEY §5.2/.4)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from __spider_spark.functions.urls import canonicalize_one
+from __spider_spark.plans.crawl import CrawlConfig, run_crawl
+from __spider_spark.reference_sim import simulate_crawl
+from __spider_spark.sources.lakehouse import Lakehouse
+from __spider_spark.sources.pages import build_page, generate_pages, seed_urls
+from __spider_spark.sources.pages import seeds_df as make_seeds
+
+N, HOSTS, SEEDS, ROUNDS = 400, 12, 30, 4
+
+ROBOTS = {
+    "host1.test": "User-agent: *\nDisallow: /p1",  # blocks p1*, p10..p19* etc
+    "host2.test": "User-agent: *\nDisallow: /",
+}
+BUDGETS = {"host0.test": 3}  # hot host gets a tighter budget
+
+
+def _cfg(use_bloom=True):
+    return CrawlConfig(default_budget=4, budgets=dict(BUDGETS),
+                       robots=dict(ROBOTS), use_bloom=use_bloom,
+                       bloom_parts=4, bloom_bits_per_part=1 << 16)
+
+
+def _pages_dict():
+    return {
+        canonicalize_one(build_page(i, N, HOSTS)["url"]):
+            build_page(i, N, HOSTS)["html"]
+        for i in range(N)
+    }
+
+
+@pytest.fixture(scope="module")
+def sim():
+    return simulate_crawl(_pages_dict(), seed_urls(N, SEEDS, HOSTS), ROUNDS,
+                          default_budget=4, budgets=dict(BUDGETS),
+                          robots=dict(ROBOTS))
+
+
+@pytest.fixture(scope="module")
+def crawled(spark):
+    lake = Lakehouse(tempfile.mkdtemp(prefix="lake_"))
+    pages = generate_pages(spark, N, HOSTS)
+    metrics = run_crawl(spark, lake, pages, make_seeds(spark, N, SEEDS, HOSTS),
+                        _cfg(), ROUNDS)
+    yield lake, metrics
+    lake.destroy()
+
+
+def test_crawl_order_matches_reference(spark, crawled, sim):
+    lake, _ = crawled
+    res = lake.read(spark, "results")
+    got = [
+        [r.url_hash for r in res.filter(F.col("round") == k)
+         .orderBy("fetch_order").collect()]
+        for k in range(1, ROUNDS + 1)
+    ]
+    assert got == sim.waves
+
+
+def test_seen_membership_matches_reference(spark, crawled, sim):
+    lake, _ = crawled
+    got = {r.url_hash for r in lake.read(spark, "seen").collect()}
+    assert got == sim.seen
+
+
+def test_extracted_text_byte_identical(spark, crawled, sim):
+    lake, _ = crawled
+    rows = lake.read(spark, "results").filter(F.col("status") == 200) \
+        .select("url", "text").collect()
+    assert len(rows) == len(sim.texts)
+    for r in rows:
+        assert r.text.encode("utf-8") == sim.texts[r.url].encode("utf-8"), r.url
+
+
+def test_metrics_match_reference(spark, crawled, sim):
+    _, metrics = crawled
+    assert metrics == sim.metrics
+
+
+def test_robots_actually_blocked(spark, crawled):
+    lake, _ = crawled
+    seen = lake.read(spark, "seen")
+    blocked = seen.filter(F.col("outcome") == "robots_blocked")
+    assert blocked.count() > 0
+    assert blocked.filter(~F.col("url").startswith("http://host1.test/p1")
+                          & ~F.col("url").startswith("http://host2.test/")
+                          ).count() == 0
+    res = lake.read(spark, "results")
+    assert res.filter(F.col("url").startswith("http://host2.test/")).count() == 0
+
+
+def test_restart_equivalence(spark, sim):
+    """Kill after round 2, resume → identical final state (north_rule)."""
+    lake = Lakehouse(tempfile.mkdtemp(prefix="lake_rst_"))
+    pages = generate_pages(spark, N, HOSTS)
+    seeds = make_seeds(spark, N, SEEDS, HOSTS)
+    run_crawl(spark, lake, pages, seeds, _cfg(), 2)   # "crash" after round 2
+    assert lake.latest_round() == 2
+    run_crawl(spark, lake, pages, seeds, _cfg(), ROUNDS)  # resume
+    got_waves = [
+        [r.url_hash for r in lake.read(spark, "results")
+         .filter(F.col("round") == k).orderBy("fetch_order").collect()]
+        for k in range(1, ROUNDS + 1)
+    ]
+    assert got_waves == sim.waves
+    assert {r.url_hash for r in lake.read(spark, "seen").collect()} == sim.seen
+    lake.destroy()
+
+
+def test_bloom_off_same_result(spark, sim):
+    lake = Lakehouse(tempfile.mkdtemp(prefix="lake_nb_"))
+    run_crawl(spark, lake, generate_pages(spark, N, HOSTS),
+              make_seeds(spark, N, SEEDS, HOSTS), _cfg(use_bloom=False),
+              ROUNDS)
+    assert {r.url_hash for r in lake.read(spark, "seen").collect()} == sim.seen
+    lake.destroy()
+
+
+def test_lakehouse_atomic_commit(spark):
+    lake = Lakehouse(tempfile.mkdtemp(prefix="lake_atom_"))
+    df1 = spark.range(5).select(F.col("id").alias("x"))
+    lake.commit(1, append={"t": df1})
+    # orphan data written but no manifest published == invisible
+    lake._write_data(spark.range(99).select(F.col("id").alias("x")), "t")
+    assert lake.read(spark, "t").count() == 5
+    lake.commit(2, append={"t": df1})
+    assert lake.read(spark, "t").count() == 10
+    assert lake.latest_round() == 2
+    lake.destroy()
