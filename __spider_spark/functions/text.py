@@ -30,7 +30,7 @@ from html.parser import HTMLParser
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 _WS_RE = re.compile(r"\s+")
 
@@ -103,3 +103,64 @@ def extract_text(html: pd.Series) -> pd.Series:
 def extract_links(html: pd.Series) -> pd.Series:
     """Vectorized html→outlinks (Arrow-batched; pure per element)."""
     return html.map(extract_links_one, na_action="ignore")
+
+
+class _PageExtractor(HTMLParser):
+    """One-pass text + link extraction (same contracts as the two
+    single-purpose extractors; fused so the crawl hot path tokenizes each
+    page once instead of twice)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.chunks: list[str] = []
+        self.links: list[str] = []
+        self._in_body = False
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "a":
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.links.append(unescape(v))
+        if tag == "body":
+            self._in_body = True
+        elif tag in ("script", "style"):
+            self._skip_depth += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "body":
+            self._in_body = False
+        elif tag in ("script", "style") and self._skip_depth > 0:
+            self._skip_depth -= 1
+
+    def handle_data(self, data: str) -> None:
+        if self._in_body and self._skip_depth == 0:
+            s = _WS_RE.sub(" ", data).strip()
+            if s:
+                self.chunks.append(s)
+
+
+def extract_page_one(html: bytes | None) -> tuple[str, list[str]] | None:
+    if html is None:
+        return None
+    p = _PageExtractor()
+    p.feed(html.decode("utf-8", errors="replace"))
+    p.close()
+    return "\n".join(p.chunks), p.links
+
+
+@pandas_udf(
+    StructType([
+        StructField("text", StringType()),
+        StructField("links", ArrayType(StringType())),
+    ])
+)
+def extract_page(html: pd.Series) -> pd.DataFrame:
+    """Fused html→(text, links) in one parse (Arrow-batched)."""
+    out = html.map(extract_page_one, na_action="ignore")
+    return pd.DataFrame(
+        {
+            "text": out.map(lambda t: t[0], na_action="ignore"),
+            "links": out.map(lambda t: t[1], na_action="ignore"),
+        }
+    )

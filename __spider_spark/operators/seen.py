@@ -141,6 +141,49 @@ def bloom_maybe_seen_udf(
     return maybe_seen
 
 
+class SeenBloom:
+    """Driver-maintained partitioned Bloom over the seen-set.
+
+    Incremental: each round's newly-seen keys (budget-bounded, already on
+    the driver for metrics) are folded in without touching the cluster;
+    on restart the filter is REBUILT from the seen table (bitmaps are
+    derived state — never checkpointed, SURVEY.md §7 hard part (c))."""
+
+    def __init__(self, n_parts: int = 16, bits_per_part: int = 1 << 20,
+                 n_hashes: int = 7):
+        self.n_parts = n_parts
+        self.bits = bits_per_part
+        self.k = n_hashes
+        self.parts: dict[int, Bloom] = {}
+        self.n_keys = 0
+
+    def update(self, keys) -> None:
+        arr = np.asarray(list(keys), dtype=np.int64)
+        if len(arr) == 0:
+            return
+        part = np.mod(arr, self.n_parts)
+        part = np.where(part < 0, part + self.n_parts, part)
+        for p in np.unique(part):
+            b = self.parts.setdefault(int(p), Bloom(self.bits, self.k))
+            b.add_many(arr[part == p])
+        self.n_keys += len(arr)
+
+    def rebuild(self, seen: DataFrame, key_col: str = "url_hash") -> None:
+        raw = build_partitioned_bloom(seen, self.n_parts, self.bits,
+                                      self.k, key_col)
+        self.parts = {
+            p: Bloom(self.bits, self.k,
+                     np.frombuffer(b, dtype=np.uint64).copy())
+            for p, b in raw.items()
+        }
+        self.n_keys = seen.count()
+
+    def udf(self, spark: SparkSession):
+        return bloom_maybe_seen_udf(
+            spark, {p: b.words.tobytes() for p, b in self.parts.items()},
+            self.n_parts, self.bits, self.k)
+
+
 def filter_unseen(
     candidates: DataFrame,
     seen: DataFrame | None,

@@ -40,15 +40,11 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import extract_links, extract_text
+from ..functions.text import extract_page
 from ..functions.urls import canonicalize_url, url_hash_col, url_host
 from ..operators.politeness import clip_wave
 from ..operators.robots import robots_allowed_udf
-from ..operators.seen import (
-    bloom_maybe_seen_udf,
-    build_partitioned_bloom,
-    filter_unseen,
-)
+from ..operators.seen import SeenBloom, filter_unseen
 from ..sources.lakehouse import Lakehouse
 
 FRONTIER_COLS = ["url", "url_hash", "host", "priority", "round",
@@ -66,6 +62,9 @@ class CrawlConfig:
     bloom_parts: int = 8
     bloom_bits_per_part: int = 1 << 18
     bloom_hashes: int = 7
+    # below this many seen keys the anti-join alone is cheaper than an
+    # extra Python-UDF prefilter stage
+    bloom_min_seen: int = 20_000
 
 
 def _dedup_frontier(df: DataFrame) -> DataFrame:
@@ -123,31 +122,33 @@ def pages_index(pages: DataFrame) -> DataFrame:
 
 
 def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
-              cfg: CrawlConfig) -> dict:
-    """Execute one scheduling round; returns the committed metrics row."""
+              cfg: CrawlConfig, bloom: SeenBloom | None = None) -> dict | None:
+    """Execute one scheduling round; returns the committed metrics row
+    (None when the frontier is exhausted — crawl done)."""
     k = lake.latest_round() + 1
     frontier = lake.read(spark, "frontier")
+    if frontier is None:
+        return None
     seen = lake.read(spark, "seen")
 
-    # 1. candidates = frontier ∖ seen (Bloom-prefiltered anti-join, J6)
+    # 1+2. candidates = frontier ∖ seen (Bloom-prefiltered anti-join, J6),
+    #      then the robots gate (reference disables robots, settings.py:21;
+    #      we don't). Flag once, cache, filter twice — one UDF pass.
     bloom_udf = None
-    if cfg.use_bloom and seen is not None:
-        parts = build_partitioned_bloom(
-            seen, cfg.bloom_parts, cfg.bloom_bits_per_part, cfg.bloom_hashes)
-        bloom_udf = bloom_maybe_seen_udf(
-            spark, parts, cfg.bloom_parts, cfg.bloom_bits_per_part,
-            cfg.bloom_hashes)
+    if (cfg.use_bloom and seen is not None and bloom is not None
+            and bloom.n_keys >= cfg.bloom_min_seen):
+        bloom_udf = bloom.udf(spark)
     candidates = filter_unseen(frontier, seen, bloom_udf)
-
-    # 2. robots gate (reference disables this, settings.py:21; we don't)
     allowed_udf = robots_allowed_udf(spark, cfg.robots)
-    with_path = candidates.withColumn(
-        "__path", F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
-    )
-    allowed = with_path.filter(allowed_udf(F.col("host"), F.col("__path"))) \
-                       .drop("__path")
-    blocked = with_path.filter(~allowed_udf(F.col("host"), F.col("__path"))) \
-                       .drop("__path")
+    flagged = candidates.withColumn(
+        "__allowed",
+        allowed_udf(
+            F.col("host"),
+            F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/")),
+        ),
+    ).cache()
+    allowed = flagged.filter(F.col("__allowed")).drop("__allowed")
+    blocked = flagged.filter(~F.col("__allowed")).drop("__allowed")
 
     # 3. politeness clip → this round's wave, with a deterministic total
     #    fetch order (O3 invariant)
@@ -158,24 +159,23 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
         F.row_number().over(
             Window.orderBy(F.col("priority").desc(), F.col("url_hash").asc())
         ),
-    ).cache()
+    )
 
-    # 4. simulated fetch: wave ⋈ pages (url_hash). Missing page -> 404
-    #    (the reference's sentinel response, YlSpiderMiddleware.py:186-195,
-    #    becomes a status/error column, never a magic URL)
-    fetched = (
+    # 4+5. simulated fetch: wave ⋈ pages (url_hash); missing page -> 404
+    #      (the reference's sentinel response, YlSpiderMiddleware.py:186-195,
+    #      becomes a status column, never a magic URL). Text + outlinks come
+    #      from ONE fused parse (extract_page); html is read exactly once.
+    extracted = (
         wave.join(pages_idx, "url_hash", "left")
         .withColumn("status",
                     F.when(F.col("html").isNotNull(), F.lit(200))
                      .otherwise(F.lit(404)))
+        .withColumn("page", extract_page(F.col("html")))
+        .withColumn("text", F.col("page.text"))
+        .withColumn("links", F.col("page.links"))
+        .drop("html", "page")
+        .cache()
     )
-
-    # 5. extract text + outlinks (vectorized; html read exactly once)
-    extracted = fetched.withColumn(
-        "text", F.when(F.col("status") == 200, extract_text(F.col("html")))
-    ).withColumn(
-        "links", F.when(F.col("status") == 200, extract_links(F.col("html")))
-    ).drop("html").cache()
 
     results = extracted.select(
         "url", "url_hash", "host",
@@ -209,7 +209,10 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
     # 7. state transition: everything waved or robots-blocked is now seen;
     #    frontier' = (frontier ∖ newly_seen ∖ seen) ∪ discovered, deduped
     newly_seen = (
-        wave.select("url_hash", "url").withColumn("outcome", F.lit("fetched"))
+        extracted.select(
+            "url_hash", "url",
+            F.when(F.col("status") == 200, "fetched")
+             .otherwise("fetched_404").alias("outcome"))
         .unionByName(
             blocked.select("url_hash", "url")
             .withColumn("outcome", F.lit("robots_blocked"))
@@ -225,15 +228,17 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
     )
 
     # 8. metrics (reference analogue: running counters A1,
-    #    ctripSpider.py:51,234-250; at scale these become observe()/
-    #    accumulators — here explicit counts on the cached wave)
-    n_wave = wave.count()
-    n_ok = extracted.filter(F.col("status") == 200).count()
-    n_blocked = blocked.count()
+    #    ctripSpider.py:51,234-250). One collect supplies the counters AND
+    #    the keys for the incremental driver-side Bloom; the wave is
+    #    budget-bounded so this is small by construction.
+    seen_rows = newly_seen.select("url_hash", "outcome").collect()
+    n_ok = sum(1 for r in seen_rows if r.outcome == "fetched")
+    n_404 = sum(1 for r in seen_rows if r.outcome == "fetched_404")
+    n_blocked = len(seen_rows) - n_ok - n_404
     n_discovered = discovered.select("url_hash").distinct().count()
     metrics_row = {
-        "round": k, "wave": n_wave, "fetched_200": n_ok,
-        "fetched_404": n_wave - n_ok, "robots_blocked": n_blocked,
+        "round": k, "wave": n_ok + n_404, "fetched_200": n_ok,
+        "fetched_404": n_404, "robots_blocked": n_blocked,
         "discovered": n_discovered,
     }
     metrics = spark.createDataFrame(
@@ -242,12 +247,19 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
         "robots_blocked long, discovered long",
     )
 
+    if metrics_row["wave"] == 0 and n_blocked == 0 and n_discovered == 0:
+        flagged.unpersist()
+        extracted.unpersist()
+        return None  # frontier exhausted; nothing to commit
+
     lake.commit(
         k,
         append={"seen": newly_seen, "results": results, "metrics": metrics},
         replace={"frontier": new_frontier},
     )
-    wave.unpersist()
+    if bloom is not None:
+        bloom.update([r.url_hash for r in seen_rows])
+    flagged.unpersist()
     extracted.unpersist()
     return metrics_row
 
@@ -258,12 +270,19 @@ def run_crawl(spark: SparkSession, lake: Lakehouse, pages: DataFrame,
     picks up from the last committed snapshot — SURVEY.md §2.9 resume)."""
     if lake.latest_round() < 0:
         init_crawl(spark, lake, seeds, cfg)
+    bloom = None
+    if cfg.use_bloom:
+        bloom = SeenBloom(cfg.bloom_parts, cfg.bloom_bits_per_part,
+                          cfg.bloom_hashes)
+        seen = lake.read(spark, "seen")
+        if seen is not None:  # resume: rebuild derived state from the table
+            bloom.rebuild(seen)
     idx = pages_index(pages).cache()
     out = []
     while lake.latest_round() < n_rounds:
-        frontier = lake.read(spark, "frontier")
-        if frontier is None or frontier.limit(1).count() == 0:
+        row = run_round(spark, lake, idx, cfg, bloom)
+        if row is None:
             break
-        out.append(run_round(spark, lake, idx, cfg))
+        out.append(row)
     idx.unpersist()
     return out

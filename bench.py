@@ -1,0 +1,107 @@
+"""Headline benchmark (driver contract).
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and a 3-round crawl over a
+deterministic page store, then prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "crawl_urls_per_sec": ...}
+
+Execution is forced with the noop sink (full pipeline, no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from __spider_spark.plans.crawl import CrawlConfig, run_crawl  # noqa: E402
+from __spider_spark.session import get_spark  # noqa: E402
+from __spider_spark.sources.lakehouse import Lakehouse  # noqa: E402
+from __spider_spark.sources.pages import generate_pages, seeds_df  # noqa: E402
+
+HEADLINE = [
+    "q04_derived_columns",    # scan + project + decimal math
+    "q06_broadcast_dim_join", # broadcast join chain + agg
+    "q07_seen_anti_join",     # the URL-seen anti-join shape
+    "q08_argmin_cheapest",    # window argmin
+    "q11_group_rollup",       # TPC-H Q1 rollup
+    "q17_minhash_lsh_pairs",  # shingle explode + minhash + LSH self-join
+    "q19_simhash",            # bit-vote aggregation
+    "q22_ann_cosine_topk",    # vector math top-k
+    "q24_sessionize",         # stateful window over event time
+]
+
+CRAWL_PAGES = int(os.environ.get("BENCH_CRAWL_PAGES", "60000"))
+CRAWL_SEEDS = int(os.environ.get("BENCH_CRAWL_SEEDS", "4000"))
+CRAWL_ROUNDS = int(os.environ.get("BENCH_CRAWL_ROUNDS", "3"))
+
+
+def _force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _force(qs[name](spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def bench_crawl(spark) -> tuple[float, float, int]:
+    """3 scheduling rounds over a generated page store; returns
+    (elapsed_sec, urls_per_sec, urls_fetched). Page-store generation is
+    pre-materialized to parquet so only the engine is timed."""
+    tmp = tempfile.mkdtemp(prefix="bench_pages_")
+    pages_path = f"{tmp}/pages"
+    generate_pages(spark, CRAWL_PAGES, n_hosts=64).write.mode(
+        "overwrite").parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+    lake = Lakehouse(tempfile.mkdtemp(prefix="bench_lake_"))
+    cfg = CrawlConfig(default_budget=CRAWL_SEEDS, salt_buckets=16,
+                      bloom_parts=16)
+    seeds = seeds_df(spark, CRAWL_PAGES, CRAWL_SEEDS, 64)
+    t0 = time.perf_counter()
+    metrics = run_crawl(spark, lake, pages, seeds, cfg, CRAWL_ROUNDS)
+    elapsed = time.perf_counter() - t0
+    fetched = sum(m["wave"] for m in metrics)
+    lake.destroy()
+    return round(elapsed, 3), round(fetched / elapsed, 1), fetched
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) \
+        if "sf" in sf_dir else 0.1
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+    times = bench_queries(spark, sf_dir)
+    crawl_sec, urls_per_sec, fetched = bench_crawl(spark)
+    times["crawl_3rounds"] = crawl_sec
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline suite wall seconds (lower=better); "
+                  "crawl_urls_per_sec = frontier URLs scheduled+fetched/sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "crawl_urls_per_sec": urls_per_sec,
+        "crawl_urls_fetched": fetched,
+        "cpus": int(cpus),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""Two-parallelism scaling benchmark (north_rule criterion, sandbox form).
+
+Pre-materializes one page store, then runs the identical crawl job in fresh
+subprocesses at local[N] and local[4N]; reports throughput at both and
+scaling efficiency = (thr_4N / thr_N) / 4. Appends results to BENCH.md.
+
+Usage: python scripts/scaling_bench.py [N=8] [pages=120000] [seeds=8000] [rounds=2]
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import tempfile
+from datetime import datetime, timezone
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 120_000
+    n_seeds = int(sys.argv[3]) if len(sys.argv) > 3 else 8_000
+    rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+
+    from __spider_spark.session import get_spark
+    from __spider_spark.sources.pages import generate_pages
+
+    pages_path = tempfile.mkdtemp(prefix="scale_pages_") + "/pages"
+    spark = get_spark(app_name="scale-gen", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    generate_pages(spark, n_pages, n_hosts=64).write.mode(
+        "overwrite").parquet(pages_path)
+    spark.stop()
+
+    results = []
+    for cores in (n, 4 * n):
+        out = subprocess.run(
+            [sys.executable, str(REPO / "scripts/scaling_job.py"),
+             str(cores), pages_path, str(n_pages), str(n_seeds), str(rounds)],
+            capture_output=True, text=True, check=True, cwd=str(REPO),
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        results.append(json.loads(line))
+        print(line)
+
+    thr_n, thr_4n = results[0]["urls_per_sec"], results[1]["urls_per_sec"]
+    eff = round(thr_4n / thr_n / 4.0, 3)
+    speedup = round(thr_4n / thr_n, 2)
+    summary = {
+        "n_cores": n, "n4_cores": 4 * n,
+        "thr_n": thr_n, "thr_4n": thr_4n,
+        "speedup": speedup, "scaling_efficiency": eff,
+        "pages": n_pages, "seeds": n_seeds, "rounds": rounds,
+    }
+    print(json.dumps(summary))
+
+    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    block = f"""
+## Scaling run {stamp}
+
+Same crawl job (pages={n_pages}, seeds={n_seeds}, rounds={rounds},
+budget=per-host unlimited-equivalent) on identical input at two
+parallelism levels (sandbox substitution for N vs 4N executors):
+
+| parallelism | elapsed (s) | URLs fetched | URLs/sec |
+|---|---|---|---|
+| local[{n}] | {results[0]['elapsed_sec']} | {results[0]['urls_fetched']} | {thr_n} |
+| local[{4*n}] | {results[1]['elapsed_sec']} | {results[1]['urls_fetched']} | {thr_4n} |
+
+Speedup {n}→{4*n} cores: **{speedup}×**;
+scaling efficiency = (thr_4N / thr_N) / 4 = **{eff}** (target ≥ 0.8).
+"""
+    bench_md = REPO / "BENCH.md"
+    prev = bench_md.read_text() if bench_md.exists() else "# BENCH — scaling runs\n"
+    bench_md.write_text(prev + block)
+
+
+if __name__ == "__main__":
+    main()

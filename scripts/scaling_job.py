@@ -1,0 +1,52 @@
+"""One scaling-bench job: run the crawl engine at a given parallelism.
+
+Usage: python scripts/scaling_job.py <cores> <pages_parquet> <n_pages> <seeds> <rounds>
+Prints one JSON line {cores, elapsed_sec, urls_fetched, urls_per_sec}.
+
+This is the sandbox substitution for the north_rule's two-cluster-size
+criterion (BASELINE.md): the same job, same input, at local[N] and local[4N].
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from __spider_spark.plans.crawl import CrawlConfig, run_crawl  # noqa: E402
+from __spider_spark.session import get_spark  # noqa: E402
+from __spider_spark.sources.lakehouse import Lakehouse  # noqa: E402
+from __spider_spark.sources.pages import seeds_df  # noqa: E402
+
+
+def main() -> None:
+    cores = int(sys.argv[1])
+    pages_path = sys.argv[2]
+    n_pages = int(sys.argv[3])
+    n_seeds = int(sys.argv[4])
+    rounds = int(sys.argv[5])
+    spark = get_spark(app_name=f"scaling-{cores}", master=f"local[{cores}]",
+                      shuffle_partitions=max(cores * 2, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = spark.read.parquet(pages_path)
+    lake = Lakehouse(tempfile.mkdtemp(prefix=f"scale_lake_{cores}_"))
+    cfg = CrawlConfig(default_budget=n_seeds, salt_buckets=16, bloom_parts=16)
+    seeds = seeds_df(spark, n_pages, n_seeds, 64)
+    t0 = time.perf_counter()
+    metrics = run_crawl(spark, lake, pages, seeds, cfg, rounds)
+    elapsed = time.perf_counter() - t0
+    fetched = sum(m["wave"] for m in metrics)
+    lake.destroy()
+    print(json.dumps({
+        "cores": cores, "elapsed_sec": round(elapsed, 2),
+        "urls_fetched": fetched,
+        "urls_per_sec": round(fetched / elapsed, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
