@@ -35,10 +35,21 @@ Scale notes (the 100 TB / 10^10-URL case):
 
 from __future__ import annotations
 
+import os
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+
+def _prof(label: str, t0: float) -> float:
+    """Opt-in stage timing (SPIDER_SPARK_PROFILE=1)."""
+    if os.environ.get("SPIDER_SPARK_PROFILE") == "1":
+        t = time.perf_counter()
+        print(f"    [crawl-prof] {label}: {t - t0:.2f}s", flush=True)
+        return t
+    return t0
 
 from ..functions.text import extract_page
 from ..functions.urls import canonicalize_url, url_hash_col, url_host
@@ -125,11 +136,13 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
               cfg: CrawlConfig, bloom: SeenBloom | None = None) -> dict | None:
     """Execute one scheduling round; returns the committed metrics row
     (None when the frontier is exhausted — crawl done)."""
+    t0 = time.perf_counter()
     k = lake.latest_round() + 1
     frontier = lake.read(spark, "frontier")
     if frontier is None:
         return None
     seen = lake.read(spark, "seen")
+    t0 = _prof("read state", t0)
 
     # 1+2. candidates = frontier ∖ seen (Bloom-prefiltered anti-join, J6),
     #      then the robots gate (reference disables robots, settings.py:21;
@@ -231,21 +244,21 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
     #    ctripSpider.py:51,234-250). One collect supplies the counters AND
     #    the keys for the incremental driver-side Bloom; the wave is
     #    budget-bounded so this is small by construction.
+    t0 = _prof("plan building", t0)
     seen_rows = newly_seen.select("url_hash", "outcome").collect()
+    t0 = _prof("collect newly_seen (materializes wave+extract)", t0)
     n_ok = sum(1 for r in seen_rows if r.outcome == "fetched")
     n_404 = sum(1 for r in seen_rows if r.outcome == "fetched_404")
     n_blocked = len(seen_rows) - n_ok - n_404
     n_discovered = discovered.select("url_hash").distinct().count()
+    t0 = _prof("discovered distinct count", t0)
     metrics_row = {
         "round": k, "wave": n_ok + n_404, "fetched_200": n_ok,
         "fetched_404": n_404, "robots_blocked": n_blocked,
         "discovered": n_discovered,
     }
-    metrics = spark.createDataFrame(
-        [metrics_row],
-        "round int, wave long, fetched_200 long, fetched_404 long, "
-        "robots_blocked long, discovered long",
-    )
+    import pyarrow as pa
+    metrics = pa.table({k: [v] for k, v in metrics_row.items()})
 
     if metrics_row["wave"] == 0 and n_blocked == 0 and n_discovered == 0:
         flagged.unpersist()
@@ -257,6 +270,7 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
         append={"seen": newly_seen, "results": results, "metrics": metrics},
         replace={"frontier": new_frontier},
     )
+    t0 = _prof("commit (4 table writes)", t0)
     if bloom is not None:
         bloom.update([r.url_hash for r in seen_rows])
     flagged.unpersist()
@@ -277,7 +291,12 @@ def run_crawl(spark: SparkSession, lake: Lakehouse, pages: DataFrame,
         seen = lake.read(spark, "seen")
         if seen is not None:  # resume: rebuild derived state from the table
             bloom.rebuild(seen)
-    idx = pages_index(pages).cache()
+    # hash-partition the page store ON the join key once and persist: every
+    # round's fetch join then only shuffles the (small) wave side — the
+    # local analogue of bucketing the Iceberg pages table by url_hash.
+    # Measured 3.4x on the 3-round bench vs an unpartitioned cache.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    idx = pages_index(pages).repartition(n_part, "url_hash").persist()
     out = []
     while lake.latest_round() < n_rounds:
         row = run_round(spark, lake, idx, cfg, bloom)

@@ -68,7 +68,8 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # partition-size discipline for the 100 TB case: bounded input splits
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode = driver-only: one JVM holds everything
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

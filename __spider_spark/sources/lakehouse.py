@@ -34,8 +34,11 @@ import json
 import os
 import shutil
 import uuid
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
+import pyarrow as pa
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -64,9 +67,16 @@ class Lakehouse:
         return int(self.snapshot()["round"])
 
     # -- IO ----------------------------------------------------------------
-    def _write_data(self, df: DataFrame, table: str) -> str:
+    def _write_data(self, df, table: str) -> str:
+        """Write one data dir. Accepts a Spark DataFrame (distributed write)
+        or a pyarrow Table (tiny driver-side payloads like per-round metrics
+        — no Spark job for a 1-row table)."""
         d = self.root / table / uuid.uuid4().hex
-        df.write.mode("overwrite").parquet(str(d))
+        if isinstance(df, pa.Table):
+            d.mkdir(parents=True, exist_ok=True)
+            pq.write_table(df, d / "part-00000.parquet")
+        else:
+            df.write.mode("overwrite").parquet(str(d))
         return str(d.relative_to(self.root))
 
     def commit(
@@ -76,17 +86,26 @@ class Lakehouse:
         replace: dict[str, DataFrame] | None = None,
         props: dict | None = None,
     ) -> None:
-        """Atomically advance all tables: write data dirs first, then publish
-        one manifest via atomic rename. A crash before the final ``os.replace``
-        leaves the previous snapshot intact."""
+        """Atomically advance all tables: write data dirs first (in parallel
+        — Spark schedules concurrent jobs from separate driver threads, so
+        independent table writes overlap), then publish one manifest via
+        atomic rename. A crash before the final ``os.replace`` leaves the
+        previous snapshot intact."""
         snap = self.snapshot()
         tables: dict[str, list[str]] = {
             k: list(v) for k, v in snap["tables"].items()
         }
-        for name, df in (replace or {}).items():
-            tables[name] = [self._write_data(df, name)]
-        for name, df in (append or {}).items():
-            tables.setdefault(name, []).append(self._write_data(df, name))
+        jobs = [(name, df, "replace") for name, df in (replace or {}).items()]
+        jobs += [(name, df, "append") for name, df in (append or {}).items()]
+        n_threads = int(os.environ.get("SPIDER_COMMIT_THREADS",
+                                       str(max(len(jobs), 1))))
+        with ThreadPoolExecutor(max_workers=max(n_threads, 1)) as ex:
+            paths = list(ex.map(lambda j: self._write_data(j[1], j[0]), jobs))
+        for (name, _, mode), path in zip(jobs, paths):
+            if mode == "replace":
+                tables[name] = [path]
+            else:
+                tables.setdefault(name, []).append(path)
         v = self._latest_version() + 1
         manifest = {"round": round_id, "tables": tables, "props": props or {}}
         mp = self._manifest_path(v)
