@@ -168,6 +168,16 @@ class SeenBloom:
             b.add_many(arr[part == p])
         self.n_keys += len(arr)
 
+    def merge_raw(self, raw: dict[int, bytes], n_new: int) -> None:
+        """Fold executor-built partition bitmaps (the per-round delta) into
+        the driver state — bitwise OR, so merge order is irrelevant."""
+        for p, b in raw.items():
+            delta = Bloom(self.bits, self.k,
+                          np.frombuffer(b, dtype=np.uint64).copy())
+            cur = self.parts.get(p)
+            self.parts[p] = delta if cur is None else cur.merge(delta)
+        self.n_keys += n_new
+
     def rebuild(self, seen: DataFrame, key_col: str = "url_hash") -> None:
         raw = build_partitioned_bloom(seen, self.n_parts, self.bits,
                                       self.k, key_col)

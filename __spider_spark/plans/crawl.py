@@ -43,6 +43,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+from ..functions.text import extract_page
+from ..functions.urls import canonicalize_url, url_hash_col, url_host
+from ..operators.order import global_rank
+from ..operators.politeness import clip_wave
+from ..operators.robots import robots_allowed_udf
+from ..operators.seen import SeenBloom, filter_unseen
+from ..sources.lakehouse import Lakehouse
+
+
 def _prof(label: str, t0: float) -> float:
     """Opt-in stage timing (SPIDER_SPARK_PROFILE=1)."""
     if os.environ.get("SPIDER_SPARK_PROFILE") == "1":
@@ -50,13 +59,6 @@ def _prof(label: str, t0: float) -> float:
         print(f"    [crawl-prof] {label}: {t - t0:.2f}s", flush=True)
         return t
     return t0
-
-from ..functions.text import extract_page
-from ..functions.urls import canonicalize_url, url_hash_col, url_host
-from ..operators.politeness import clip_wave
-from ..operators.robots import robots_allowed_udf
-from ..operators.seen import SeenBloom, filter_unseen
-from ..sources.lakehouse import Lakehouse
 
 FRONTIER_COLS = ["url", "url_hash", "host", "priority", "round",
                  "parent_url", "seed_index"]
@@ -167,12 +169,11 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
     #    fetch order (O3 invariant)
     wave = clip_wave(allowed, _budgets_df(spark, cfg), cfg.default_budget,
                      cfg.salt_buckets)
-    wave = wave.withColumn(
-        "fetch_order",
-        F.row_number().over(
-            Window.orderBy(F.col("priority").desc(), F.col("url_hash").asc())
-        ),
-    )
+    # total fetch order in parallel (a bare Window.orderBy would funnel the
+    # whole wave through one task); identical ranks at any parallelism
+    wave = global_rank(
+        wave, [F.col("priority").desc(), F.col("url_hash").asc()],
+        rank_col="fetch_order")
 
     # 4+5. simulated fetch: wave ⋈ pages (url_hash); missing page -> 404
     #      (the reference's sentinel response, YlSpiderMiddleware.py:186-195,
@@ -241,15 +242,19 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
     )
 
     # 8. metrics (reference analogue: running counters A1,
-    #    ctripSpider.py:51,234-250). One collect supplies the counters AND
-    #    the keys for the incremental driver-side Bloom; the wave is
-    #    budget-bounded so this is small by construction.
+    #    ctripSpider.py:51,234-250). All distributed — only per-outcome
+    #    counts and P small Bloom bitmaps ever reach the driver, so waves of
+    #    any size scale (never collect() wave rows).
     t0 = _prof("plan building", t0)
-    seen_rows = newly_seen.select("url_hash", "outcome").collect()
-    t0 = _prof("collect newly_seen (materializes wave+extract)", t0)
-    n_ok = sum(1 for r in seen_rows if r.outcome == "fetched")
-    n_404 = sum(1 for r in seen_rows if r.outcome == "fetched_404")
-    n_blocked = len(seen_rows) - n_ok - n_404
+    outcome_counts = {
+        r["outcome"]: r["n"]
+        for r in newly_seen.groupBy("outcome").agg(
+            F.count("*").alias("n")).collect()
+    }
+    t0 = _prof("outcome counts (materializes wave+extract)", t0)
+    n_ok = outcome_counts.get("fetched", 0)
+    n_404 = outcome_counts.get("fetched_404", 0)
+    n_blocked = outcome_counts.get("robots_blocked", 0)
     n_discovered = discovered.select("url_hash").distinct().count()
     t0 = _prof("discovered distinct count", t0)
     metrics_row = {
@@ -272,7 +277,13 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
     )
     t0 = _prof("commit (4 table writes)", t0)
     if bloom is not None:
-        bloom.update([r.url_hash for r in seen_rows])
+        # executor-built bitmap delta over this round's newly-seen keys,
+        # OR-merged into the driver filter (no row collect)
+        from ..operators.seen import build_partitioned_bloom
+        delta = build_partitioned_bloom(
+            newly_seen, bloom.n_parts, bloom.bits, bloom.k)
+        bloom.merge_raw(delta, n_ok + n_404 + n_blocked)
+        t0 = _prof("bloom delta build+merge", t0)
     flagged.unpersist()
     extracted.unpersist()
     return metrics_row

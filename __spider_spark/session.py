@@ -71,6 +71,8 @@ def get_spark(
         # local mode = driver-only: one JVM holds everything
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions",
+                os.environ.get("SPIDER_EXTRA_JAVA", ""))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

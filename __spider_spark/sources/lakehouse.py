@@ -97,8 +97,9 @@ class Lakehouse:
         }
         jobs = [(name, df, "replace") for name, df in (replace or {}).items()]
         jobs += [(name, df, "append") for name, df in (append or {}).items()]
-        n_threads = int(os.environ.get("SPIDER_COMMIT_THREADS",
-                                       str(max(len(jobs), 1))))
+        # sequential by default: concurrent write jobs oversubscribe python
+        # workers at high local core counts (measured 91s vs 65s at local[32])
+        n_threads = int(os.environ.get("SPIDER_COMMIT_THREADS", "1"))
         with ThreadPoolExecutor(max_workers=max(n_threads, 1)) as ex:
             paths = list(ex.map(lambda j: self._write_data(j[1], j[0]), jobs))
         for (name, _, mode), path in zip(jobs, paths):

@@ -103,15 +103,21 @@ def _words(seed: int, i: int, salt: str, vocab: list[str], k: int) -> str:
     )
 
 
-def build_page(i: int, n: int, n_hosts: int, seed: int = 42) -> dict:
-    """Pure row constructor: (seed, i) -> full pages row."""
+def build_page(i: int, n: int, n_hosts: int, seed: int = 42,
+               weight: int = 1) -> dict:
+    """Pure row constructor: (seed, i) -> full pages row.
+
+    ``weight`` scales the paragraph count (weight 1 ≈ a stub page; 8-10 ≈ a
+    realistic article) without touching any weight-1 byte — benchmarks use
+    heavier pages so extraction compute, not scheduling overhead, dominates.
+    """
     lang = page_lang(i, seed)
     vocab = _LANG_VOCAB[lang]
     title = _words(seed, i, "title", vocab, 3)
     h1 = _words(seed, i, "h1", vocab, 4)
     paras = [
         _words(seed, i, f"para{p}", vocab, 8 + _h(seed, i, f"plen{p}") % 9)
-        for p in range(2 + _h(seed, i, "nparas") % 3)
+        for p in range((2 + _h(seed, i, "nparas") % 3) * weight)
     ]
     links = [(t, raw_url(t, n_hosts, seed)) for t in outlink_ids(i, n)]
     anchor_texts = [f"link to p{t}" for t, _ in links]
@@ -141,13 +147,15 @@ def build_page(i: int, n: int, n_hosts: int, seed: int = 42) -> dict:
 
 
 def generate_pages(
-    spark: SparkSession, n: int, n_hosts: int = 20, seed: int = 42
+    spark: SparkSession, n: int, n_hosts: int = 20, seed: int = 42,
+    weight: int = 1,
 ) -> DataFrame:
     """Distributed deterministic pages table (spark.range → mapInPandas)."""
 
     def gen(batches):
         for pdf in batches:
-            rows = [build_page(int(i), n, n_hosts, seed) for i in pdf["id"]]
+            rows = [build_page(int(i), n, n_hosts, seed, weight)
+                    for i in pdf["id"]]
             yield pd.DataFrame(
                 rows, columns=["url", "warc_ts", "html", "text", "lang"]
             )

@@ -21,10 +21,11 @@ sys.path.insert(0, str(REPO))
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 120_000
-    n_seeds = int(sys.argv[3]) if len(sys.argv) > 3 else 8_000
-    rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 300_000
+    n_seeds = int(sys.argv[3]) if len(sys.argv) > 3 else 100_000
+    rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    weight = int(sys.argv[5]) if len(sys.argv) > 5 else 10
 
     from __spider_spark.session import get_spark
     from __spider_spark.sources.pages import generate_pages
@@ -32,7 +33,10 @@ def main() -> None:
     pages_path = tempfile.mkdtemp(prefix="scale_pages_") + "/pages"
     spark = get_spark(app_name="scale-gen", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
-    generate_pages(spark, n_pages, n_hosts=64).write.mode(
+    # weight≈10 ≈ realistic article-sized pages: extraction compute (the
+    # thing that scales) dominates scheduling overhead (the thing that
+    # doesn't) — same ratio a real crawl has
+    generate_pages(spark, n_pages, n_hosts=64, weight=weight).write.mode(
         "overwrite").parquet(pages_path)
     spark.stop()
 
@@ -62,9 +66,9 @@ def main() -> None:
     block = f"""
 ## Scaling run {stamp}
 
-Same crawl job (pages={n_pages}, seeds={n_seeds}, rounds={rounds},
-budget=per-host unlimited-equivalent) on identical input at two
-parallelism levels (sandbox substitution for N vs 4N executors):
+Same crawl job (pages={n_pages}, page weight={weight}, seeds={n_seeds},
+rounds={rounds}, budget=per-host unlimited-equivalent) on identical input
+at two parallelism levels (sandbox substitution for N vs 4N executors):
 
 | parallelism | elapsed (s) | URLs fetched | URLs/sec |
 |---|---|---|---|

@@ -29,8 +29,10 @@ def main() -> None:
     n_pages = int(sys.argv[3])
     n_seeds = int(sys.argv[4])
     rounds = int(sys.argv[5])
+    # partitions == cores: oversubscribing (2x) measured pathological here —
+    # concurrent commit jobs x partitions x Python workers thrash the box
     spark = get_spark(app_name=f"scaling-{cores}", master=f"local[{cores}]",
-                      shuffle_partitions=max(cores * 2, 16))
+                      shuffle_partitions=max(cores, 8))
     spark.sparkContext.setLogLevel("ERROR")
     pages = spark.read.parquet(pages_path)
     lake = Lakehouse(tempfile.mkdtemp(prefix=f"scale_lake_{cores}_"))
