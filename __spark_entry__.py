@@ -505,6 +505,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("c_custkey", "c_mktsegment")
     q["q35_semi_join"] = q35
 
+    # embedding-cosine near-dup pairs (dedup family, vector flavor):
+    # label-blocked self-join keeps the candidate set bounded (the LSH
+    # bucket stands in for the label at scale)
+    def q36(spark, sf):
+        from __spider_spark.operators.similarity import _dot, _norm
+        emb = _t(spark, sf, "embeddings").select(
+            "vec_id", "label",
+            F.transform(F.col("embedding"),
+                        lambda x: x.cast("double")).alias("e"),
+        )
+        a = emb.alias("a")
+        b = emb.alias("b")
+        sim = F.round(
+            _dot(F.col("a.e"), F.col("b.e"))
+            / (_norm(F.col("a.e")) * _norm(F.col("b.e"))), 4)
+        return (
+            a.join(b, (F.col("a.label") == F.col("b.label"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"),
+                    sim.alias("cosine_sim"))
+            .filter(F.col("cosine_sim") >= 0.2)
+        )
+    q["q36_embedding_near_dup"] = q36
+
+    # BPE-ish token counting (regex word/number/symbol classes) next to
+    # whitespace tokens — the two standard corpus size measures
+    def q37(spark, sf):
+        pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+        return _t(spark, sf, "documents").select(
+            "doc_id",
+            token_count(F.col("text")).alias("ws_tokens"),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0))
+            .alias("bpe_tokens"),
+        )
+    q["q37_bpe_token_count"] = q37
+
     return q
 
 
@@ -879,6 +916,26 @@ def oracle_sql() -> dict[str, str]:
     o["q35_semi_join"] = """
         SELECT c_custkey, c_mktsegment FROM customer
         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """
+
+    o["q36_embedding_near_dup"] = """
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])), 4) AS cosine_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(
+                  CAST(a.embedding AS DOUBLE[]),
+                  CAST(b.embedding AS DOUBLE[])), 4) >= 0.2
+    """
+
+    o["q37_bpe_token_count"] = f"""
+        SELECT doc_id,
+               len({toks_doc}) AS ws_tokens,
+               len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+        FROM documents
     """
 
     return o

@@ -116,6 +116,26 @@ def test_restart_equivalence(spark, sim):
     lake.destroy()
 
 
+def test_bloom_forced_on_same_result(spark, sim):
+    """bloom_min_seen=0 forces the Bloom prefilter into every round (incl.
+    a resume-rebuild) — results must be identical to the plain anti-join."""
+    cfg = _cfg()
+    cfg.bloom_min_seen = 0
+    lake = Lakehouse(tempfile.mkdtemp(prefix="lake_fb_"))
+    pages = generate_pages(spark, N, HOSTS)
+    seeds = make_seeds(spark, N, SEEDS, HOSTS)
+    run_crawl(spark, lake, pages, seeds, cfg, 2)
+    run_crawl(spark, lake, pages, seeds, cfg, ROUNDS)  # resume -> rebuild()
+    assert {r.url_hash for r in lake.read(spark, "seen").collect()} == sim.seen
+    got_waves = [
+        [r.url_hash for r in lake.read(spark, "results")
+         .filter(F.col("round") == k).orderBy("fetch_order").collect()]
+        for k in range(1, ROUNDS + 1)
+    ]
+    assert got_waves == sim.waves
+    lake.destroy()
+
+
 def test_bloom_off_same_result(spark, sim):
     lake = Lakehouse(tempfile.mkdtemp(prefix="lake_nb_"))
     run_crawl(spark, lake, generate_pages(spark, N, HOSTS),
