@@ -677,16 +677,20 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
 
-    def _minhash_col(j: int) -> str:
-        inner = hash60_sql("concat('" + str(j) + ":', sh)")
-        return f"min({inner}) AS h{j}"
+    from __spider_spark.operators.dedup import MINHASH_P, minhash_coeffs
 
+    def _minhash_col(j: int) -> str:
+        a, b = minhash_coeffs(j)
+        return f"min((base * {a} + {b}) % {MINHASH_P}) AS h{j}"
+
+    base_sql = hash60_sql("sh") + f" % {MINHASH_P}"
     minhash_cols = ", ".join(_minhash_col(j) for j in range(4))
     o["q16_minhash_signature"] = f"""
         SELECT doc_id, {minhash_cols}
         FROM (
-            SELECT doc_id, unnest(list_distinct({sh3})) AS sh
-            FROM documents
+            SELECT doc_id, {base_sql} AS base
+            FROM (SELECT doc_id, unnest(list_distinct({sh3})) AS sh
+                  FROM documents)
         ) GROUP BY doc_id
     """
 
@@ -701,8 +705,9 @@ def oracle_sql() -> dict[str, str]:
         WITH sig AS (
             SELECT doc_id, {band_rows}
             FROM (
-                SELECT doc_id, unnest(list_distinct({sh3})) AS sh
-                FROM documents
+                SELECT doc_id, {base_sql} AS base
+                FROM (SELECT doc_id, unnest(list_distinct({sh3})) AS sh
+                      FROM documents)
             ) GROUP BY doc_id
         ), bands AS (
             SELECT doc_id, band, band_key FROM (

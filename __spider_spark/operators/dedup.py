@@ -64,23 +64,41 @@ def shingles_sql(expr: str, k: int = 3) -> str:
     )
 
 
+# Carter-Wegman affine family over one base hash: h_j(x) = (a_j*x + b_j)
+# mod P with P = 2^31-1 (Mersenne prime). base < P and a_j,b_j < P keep the
+# product < 2^62 — exact in int64 in BOTH Spark and DuckDB, so the oracle
+# reproduces signatures bit-for-bit while each shingle pays ONE md5.
+MINHASH_P = 2_147_483_647
+_MH_MULT = 2_654_435_761  # Knuth multiplicative constant
+
+
+def minhash_coeffs(j: int) -> tuple[int, int]:
+    a = (j * 2 + 1) * _MH_MULT % MINHASH_P
+    b = (j * j + j + 41) * _MH_MULT % MINHASH_P
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str,
     n_hashes: int = 16, k: int = 3,
 ) -> DataFrame:
     """MinHash signature per doc: sig[j] = min over shingles of
-    hash60(j || ':' || shingle). Output: (doc_id, sig array<long>).
+    (a_j * base + b_j) mod P, base = hash60(shingle) mod P.
+    Output: (doc_id, sig array<long>).
 
-    One explode (map-side) + one groupBy(doc_id) shuffle; n_hashes mins are
-    computed as a single aggregate pass."""
+    One explode (map-side) + one groupBy(doc_id) shuffle; one md5 per
+    shingle; n_hashes mins computed in a single aggregate pass."""
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"),
-    )
-    mins = [
-        F.min(hash60(F.concat(F.lit(f"{j}:"), F.col("sh")))).alias(f"h{j}")
-        for j in range(n_hashes)
-    ]
+    ).withColumn("base", hash60(F.col("sh")) % F.lit(MINHASH_P))
+    mins = []
+    for j in range(n_hashes):
+        a, b = minhash_coeffs(j)
+        mins.append(
+            F.min((F.col("base") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P))
+            .alias(f"h{j}")
+        )
     sig = sh.groupBy("doc_id").agg(*mins)
     return sig.select(
         "doc_id", F.array(*[F.col(f"h{j}") for j in range(n_hashes)]).alias("sig")

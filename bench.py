@@ -49,6 +49,9 @@ def _force(df) -> None:
 
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     qs = entrymod.queries()
+    # warmup: JVM/codegen/parquet-listing startup should not be billed to
+    # whichever query happens to run first
+    _force(qs["q11_group_rollup"](spark, sf_dir))
     times: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()

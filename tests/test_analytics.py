@@ -51,8 +51,10 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert sig.count() == 8  # even the empty doc gets a ("" shingle) signature
     row = {r.doc_id: r.sig for r in sig.collect()}
     assert row[0] == row[1]  # exact dups -> identical signatures
+    # 8 bands x 2 rows tunes the S-curve for ~0.5-Jaccard near-dups
+    # (P[collide] ≈ 1-(1-J^2)^8 ≈ 0.94 at J=0.55)
     pairs = {(r.doc_a, r.doc_b)
-             for r in lsh_candidate_pairs(sig, 4, 4).collect()}
+             for r in lsh_candidate_pairs(sig, 8, 2).collect()}
     assert (0, 1) in pairs
     assert (0, 2) in pairs or (1, 2) in pairs  # near dup collides somewhere
     assert (0, 3) not in pairs
