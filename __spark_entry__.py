@@ -542,6 +542,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q37_bpe_token_count"] = q37
 
+    # IVF-style ANN (coarse quantize -> probe nearest clusters). Full-probe
+    # equals brute force (pytest-pinned); here a 2-of-8 probe — approximate
+    # by design, so rows-only check (no SQL twin)
+    def q38(spark, sf):
+        from __spider_spark.operators.similarity import ivf_topk
+        emb = _t(spark, sf, "embeddings")
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        return ivf_topk(emb, qv, k=10, n_clusters=8, n_probe=2, exclude_id=0)
+    q["q38_ann_ivf"] = q38
+
     return q
 
 

@@ -82,6 +82,69 @@ def lsh_bucket_id(emb_col, dim: int, n_planes: int = 8, seed: int = 42):
     return bucket
 
 
+def ivf_centroids(
+    emb_df: DataFrame, n_clusters: int = 8,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic coarse quantizer: centroids = the embeddings of the
+    ``n_clusters`` smallest ids. (Production IVF trains k-means; the index
+    *structure* — assign once, probe few — is what matters here, and a
+    deterministic pick keeps results reproducible across cluster sizes.)"""
+    rows = (
+        emb_df.orderBy(F.col(id_col).asc()).limit(n_clusters)
+        .select(emb_col).collect()
+    )
+    return [[float(x) for x in r[0]] for r in rows]
+
+
+def ivf_assign(emb_df: DataFrame, centroids: list[list[float]],
+               emb_col: str = "embedding") -> DataFrame:
+    """Attach ``ivf_cluster`` = argmax-cosine centroid (JVM-side: an array
+    of (sim, idx) structs reduced with array_max; ties -> higher idx)."""
+    cells = F.array(*[
+        F.struct(
+            cosine_sim_col(F.col(emb_col), c).alias("sim"),
+            F.lit(i).alias("cluster"),
+        )
+        for i, c in enumerate(centroids)
+    ])
+    return emb_df.withColumn("ivf_cluster", F.array_max(cells)["cluster"])
+
+
+def ivf_topk(
+    emb_df: DataFrame, query: list[float], k: int = 10,
+    n_clusters: int = 8, n_probe: int = 2,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+    exclude_id: int | None = None,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-style ANN: scan only the ``n_probe`` clusters nearest the query.
+    With n_probe == n_clusters this is exactly brute force (tested). At
+    scale the assignment is precomputed + the table partitioned by
+    ``ivf_cluster`` so a probe is a partition-pruned scan."""
+    if centroids is None:
+        centroids = ivf_centroids(emb_df, n_clusters, id_col, emb_col)
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return dot / (na * nb)
+
+    ranked = sorted(range(len(centroids)),
+                    key=lambda c: (-cos(query, centroids[c]), c))
+    probes = ranked[:n_probe]
+    cand = ivf_assign(emb_df, centroids, emb_col) \
+        .filter(F.col("ivf_cluster").isin(probes)).drop("ivf_cluster")
+    if exclude_id is not None:
+        cand = cand.filter(F.col(id_col) != exclude_id)
+    scored = cand.select(
+        F.col(id_col), cosine_sim_col(F.col(emb_col), query).alias("cosine_sim")
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()) \
+                 .limit(k)
+
+
 def lsh_bucket_topk(
     emb_df: DataFrame, query: list[float], k: int = 10,
     n_planes: int = 8, id_col: str = "vec_id", emb_col: str = "embedding",

@@ -124,6 +124,26 @@ class Lakehouse:
             return None
         return spark.read.parquet(*[str(self.root / d) for d in dirs])
 
+    def compact(self, spark: SparkSession, table: str,
+                partition_col: str | None = None,
+                n_files: int | None = None) -> None:
+        """Rewrite a table's many append dirs into one dir (the lakehouse
+        small-files problem: a long crawl appends one dir per round to
+        ``seen``/``results``; reads then union hundreds of fragments).
+        Atomic: readers keep the old snapshot until the single manifest
+        rename. Analogous to Iceberg's rewrite_data_files."""
+        df = self.read(spark, table)
+        if df is None:
+            return
+        if partition_col:
+            df = df.repartition(f"{partition_col}")
+        elif n_files:
+            df = df.coalesce(n_files)
+        else:
+            df = df.coalesce(max(1, df.rdd.getNumPartitions() // 8))
+        self.commit(self.latest_round(), replace={table: df},
+                    props={"compacted": table})
+
     def has_table(self, table: str) -> bool:
         return bool(self.snapshot()["tables"].get(table))
 

@@ -117,6 +117,46 @@ def test_cosine_topk_and_lsh_subset(spark, sf_dir):
     assert a1 == a2 and len(a1) > 0
 
 
+def test_ivf_topk(spark, sf_dir):
+    from __spider_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    # full probe == brute force, exactly
+    exact = [(r.vec_id, r.cosine_sim) for r in
+             cosine_topk(emb, q, 10, exclude_id=0).collect()]
+    full = [(r.vec_id, r.cosine_sim) for r in
+            ivf_topk(emb, q, 10, n_clusters=8, n_probe=8,
+                     exclude_id=0).collect()]
+    assert full == exact
+    # narrow probe: still k ranked results, a subset of the probed space,
+    # deterministic across runs
+    a1 = [r.vec_id for r in
+          ivf_topk(emb, q, 10, n_clusters=8, n_probe=2, exclude_id=0).collect()]
+    a2 = [r.vec_id for r in
+          ivf_topk(emb, q, 10, n_clusters=8, n_probe=2, exclude_id=0).collect()]
+    assert a1 == a2 and len(a1) == 10
+
+
+def test_lakehouse_compaction(spark):
+    import tempfile
+
+    from __spider_spark.sources.lakehouse import Lakehouse
+    lake = Lakehouse(tempfile.mkdtemp(prefix="lake_cmp_"))
+    for i in range(5):
+        lake.commit(i, append={"t": spark.range(i * 10, (i + 1) * 10)
+                               .select(F.col("id").alias("x"))})
+    before = lake.read(spark, "t")
+    assert len(lake.snapshot()["tables"]["t"]) == 5
+    rows_before = sorted(r.x for r in before.collect())
+    lake.compact(spark, "t", n_files=1)
+    assert len(lake.snapshot()["tables"]["t"]) == 1
+    assert sorted(r.x for r in lake.read(spark, "t").collect()) == rows_before
+    assert lake.latest_round() == 4  # compaction does not advance the round
+    lake.destroy()
+
+
 def test_multimodal_plumbing(spark):
     media = synth_media(spark, 50)
     assert media.count() == 50
