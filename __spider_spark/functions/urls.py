@@ -27,7 +27,7 @@ no per-row Python UDFs).
 from __future__ import annotations
 
 import re
-from urllib.parse import urlsplit, urlunsplit
+from urllib.parse import urljoin, urlsplit, urlunsplit
 
 import pandas as pd
 from pyspark.sql import functions as F
@@ -131,10 +131,33 @@ def host_of_one(url: str | None) -> str | None:
         return ""
 
 
+def resolve_one(base: str | None, link: str | None) -> str | None:
+    """RFC 3986 §5 reference resolution + canonicalization: how a crawler
+    turns an href (possibly relative, scheme-relative, or fragment-only)
+    found on ``base`` into a frontier key. Pure; never raises."""
+    if link is None:
+        return None
+    link = link.strip()
+    if not link:
+        return None
+    if base:
+        try:
+            link = urljoin(base, link)
+        except ValueError:
+            pass
+    return canonicalize_one(link)
+
+
 @pandas_udf(StringType())
 def canonicalize_url(urls: pd.Series) -> pd.Series:
     """Vectorized RFC 3986 canonicalization (Arrow-batched)."""
     return urls.map(canonicalize_one, na_action="ignore")
+
+
+@pandas_udf(StringType())
+def resolve_link(base: pd.Series, link: pd.Series) -> pd.Series:
+    """Vectorized href resolution against the parent URL (Arrow-batched)."""
+    return pd.Series([resolve_one(b, x) for b, x in zip(base, link)])
 
 
 @pandas_udf(StringType())

@@ -44,7 +44,12 @@ from pyspark.sql import functions as F
 
 
 from ..functions.text import extract_page
-from ..functions.urls import canonicalize_url, url_hash_col, url_host
+from ..functions.urls import (
+    canonicalize_url,
+    resolve_link,
+    url_hash_col,
+    url_host,
+)
 from ..operators.order import global_rank
 from ..operators.politeness import clip_wave
 from ..operators.robots import robots_allowed_udf
@@ -210,7 +215,10 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
             F.col("url").alias("parent_url"),
             F.col("seed_index"),
         )
-        .withColumn("url", canonicalize_url(F.col("raw_link")))
+        # hrefs may be relative / scheme-relative / fragment-only — resolve
+        # against the parent page (RFC 3986 §5) before canonicalizing
+        .withColumn("url", resolve_link(F.col("parent_url"),
+                                        F.col("raw_link")))
         .filter(F.col("url").isNotNull() & (F.col("url") != ""))
         .withColumn("url_hash", url_hash_col(F.col("url")))
         .withColumn("host", url_host(F.col("url")))

@@ -23,7 +23,7 @@ from urllib.parse import urlsplit
 
 from .functions.hashing import spark_xxhash64_str
 from .functions.text import extract_links_one, extract_text_one
-from .functions.urls import canonicalize_one, host_of_one
+from .functions.urls import canonicalize_one, host_of_one, resolve_one
 from .operators.robots import allowed_one, parse_robots
 
 
@@ -112,7 +112,7 @@ def simulate_crawl(
             n_ok += 1
             texts[e["url"]] = extract_text_one(html)
             for raw_link in extract_links_one(html):
-                u = canonicalize_one(raw_link)
+                u = resolve_one(e["url"], raw_link)
                 if not u:
                     continue
                 d = {

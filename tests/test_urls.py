@@ -84,3 +84,18 @@ def test_vectorized_matches_scalar(spark):
         [("HTTP://A.com:80/x",), ("http://a.com/x",)], "url string")
     h = [r.url_hash for r in with_url_keys(df2).collect()]
     assert h[0] == h[1]
+
+
+def test_resolve_relative_links():
+    from __spider_spark.functions.urls import resolve_one
+
+    base = "http://example.com/dir/page"
+    assert resolve_one(base, "sub/x") == "http://example.com/dir/sub/x"
+    assert resolve_one(base, "/abs/y") == "http://example.com/abs/y"
+    assert resolve_one(base, "../up") == "http://example.com/up"
+    assert resolve_one(base, "//other.com/z") == "http://other.com/z"
+    assert resolve_one(base, "HTTP://Other.COM:80/w") == "http://other.com/w"
+    assert resolve_one(base, "#frag") == "http://example.com/dir/page"
+    assert resolve_one(base, "?q=1") == "http://example.com/dir/page?q=1"
+    assert resolve_one(base, "") is None
+    assert resolve_one(None, "x.com/a") == "http://x.com/a"
