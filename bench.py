@@ -86,8 +86,11 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) \
         if "sf" in sf_dir else 0.1
+    # partitions capped at 16: on this box more concurrent shuffle/UDF tasks
+    # in ONE JVM go super-linear in kernel time (see BENCH.md analysis);
+    # measured 76s -> 34s on the crawl portion at local[32]
     spark = get_spark(app_name="bench", master=f"local[{cpus}]",
-                      shuffle_partitions=int(cpus))
+                      shuffle_partitions=min(int(cpus), 16))
     spark.sparkContext.setLogLevel("ERROR")
     times = bench_queries(spark, sf_dir)
     crawl_sec, urls_per_sec, fetched = bench_crawl(spark)
