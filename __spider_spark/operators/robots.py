@@ -3,15 +3,25 @@
 The reference crawls with ``ROBOTSTXT_OBEY = False``
 (/root/reference/settings.py:21) — the engine makes compliance a first-class
 operator instead (north_star requirement). Robots bodies form a small
-per-host relation (FIXTURES.md §5) parsed ONCE on the driver into
-{host: (disallow_prefixes, allow_prefixes)} for User-agent ``*`` and
-broadcast; the check is an Arrow-batched pandas UDF over (host, path).
+per-host relation (FIXTURES.md §5) parsed ONCE on the driver for
+User-agent ``*`` and broadcast; the check is an Arrow-batched pandas UDF
+over (host, path).
 
-Longest-match-wins between Allow and Disallow (Google's documented
-semantics); empty Disallow value means allow-all; unknown host => allowed.
+Semantics (Google's documented robots rules):
+  * ``*`` in a pattern matches any character sequence; ``$`` anchors the
+    pattern end; otherwise prefix match;
+  * most-specific (longest pattern) wins between Allow and Disallow,
+    Allow wins ties;
+  * empty Disallow value = allow-all; unknown host = allowed;
+  * ``Crawl-delay`` maps onto the engine's politeness budget:
+    budget_per_round = round_seconds / delay (the declarative form of the
+    reference's DOWNLOAD_DELAY throttle, settings.py:37).
 """
 
 from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
 
 import pandas as pd
 from pyspark.sql import SparkSession
@@ -19,10 +29,23 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType
 
 
-def parse_robots(body: str) -> tuple[list[str], list[str]]:
-    """Parse one robots.txt body → (disallow, allow) prefix lists for UA *."""
-    dis: list[str] = []
-    allow: list[str] = []
+@dataclass
+class RobotsRules:
+    disallow: list[str] = field(default_factory=list)
+    allow: list[str] = field(default_factory=list)
+    crawl_delay: float | None = None
+
+
+def _pattern_regex(pattern: str) -> re.Pattern[str]:
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = ".*".join(re.escape(part) for part in body.split("*"))
+    return re.compile("^" + rx + ("$" if anchored else ""))
+
+
+def parse_robots(body: str) -> RobotsRules:
+    """Parse one robots.txt body for User-agent ``*``."""
+    rules = RobotsRules()
     applies = False
     for raw in (body or "").splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -35,20 +58,45 @@ def parse_robots(body: str) -> tuple[list[str], list[str]]:
             applies = val == "*"
         elif applies and key == "disallow":
             if val:
-                dis.append(val)
+                rules.disallow.append(val)
         elif applies and key == "allow":
             if val:
-                allow.append(val)
-    return dis, allow
+                rules.allow.append(val)
+        elif applies and key == "crawl-delay":
+            try:
+                rules.crawl_delay = float(val)
+            except ValueError:
+                pass
+    return rules
 
 
-def allowed_one(rules: tuple[list[str], list[str]] | None, path: str) -> bool:
-    if not rules:
+def _best_match(patterns: list[str], path: str) -> int:
+    """Length of the most specific matching pattern; -1 if none match."""
+    best = -1
+    for p in patterns:
+        if _pattern_regex(p).match(path) and len(p) > best:
+            best = len(p)
+    return best
+
+
+def allowed_one(rules: RobotsRules | None, path: str) -> bool:
+    if rules is None:
         return True
-    dis, allow = rules
-    best_dis = max((len(p) for p in dis if path.startswith(p)), default=-1)
-    best_allow = max((len(p) for p in allow if path.startswith(p)), default=-1)
+    best_dis = _best_match(rules.disallow, path)
+    best_allow = _best_match(rules.allow, path)
     return best_allow >= best_dis
+
+
+def robots_budgets(robots_bodies: dict[str, str],
+                   round_seconds: float = 60.0) -> dict[str, int]:
+    """Crawl-delay directives → per-host politeness budgets
+    (budget = how many polite fetches fit in one scheduling round)."""
+    out = {}
+    for host, body in robots_bodies.items():
+        delay = parse_robots(body).crawl_delay
+        if delay and delay > 0:
+            out[host] = max(1, int(round_seconds / delay))
+    return out
 
 
 def robots_allowed_udf(spark: SparkSession, robots_bodies: dict[str, str]):

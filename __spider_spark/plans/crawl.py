@@ -52,7 +52,7 @@ from ..functions.urls import (
 )
 from ..operators.order import global_rank
 from ..operators.politeness import clip_wave
-from ..operators.robots import robots_allowed_udf
+from ..operators.robots import robots_allowed_udf, robots_budgets
 from ..operators.seen import SeenBloom, filter_unseen
 from ..sources.lakehouse import Lakehouse
 
@@ -76,6 +76,9 @@ class CrawlConfig:
     robots: dict[str, str] = field(default_factory=dict)   # host -> robots.txt
     priority_decay: float = 0.5
     salt_buckets: int = 8
+    # scheduling-round wall budget used to turn robots Crawl-delay
+    # directives into per-host budgets (reference analogue: DOWNLOAD_DELAY)
+    round_seconds: float = 60.0
     use_bloom: bool = True
     bloom_parts: int = 8
     bloom_bits_per_part: int = 1 << 18
@@ -121,11 +124,19 @@ def init_crawl(spark: SparkSession, lake: Lakehouse, seeds: DataFrame,
     lake.commit(0, replace={"frontier": _dedup_frontier(frontier)})
 
 
+def effective_budgets(cfg: CrawlConfig) -> dict[str, int]:
+    """Crawl-delay-derived budgets, overridden by explicit config."""
+    merged = robots_budgets(cfg.robots, cfg.round_seconds)
+    merged.update(cfg.budgets)
+    return merged
+
+
 def _budgets_df(spark: SparkSession, cfg: CrawlConfig) -> DataFrame | None:
-    if not cfg.budgets:
+    budgets = effective_budgets(cfg)
+    if not budgets:
         return None
     return spark.createDataFrame(
-        list(cfg.budgets.items()), "host string, budget int"
+        list(budgets.items()), "host string, budget int"
     )
 
 

@@ -24,7 +24,7 @@ from urllib.parse import urlsplit
 from .functions.hashing import spark_xxhash64_str
 from .functions.text import extract_links_one, extract_text_one
 from .functions.urls import canonicalize_one, host_of_one, resolve_one
-from .operators.robots import allowed_one, parse_robots
+from .operators.robots import allowed_one, parse_robots, robots_budgets
 
 
 @dataclass
@@ -57,8 +57,11 @@ def simulate_crawl(
     budgets: dict[str, int] | None = None,
     robots: dict[str, str] | None = None,
     priority_decay: float = 0.5,
+    round_seconds: float = 60.0,
 ) -> SimResult:
-    budgets = budgets or {}
+    merged = robots_budgets(robots or {}, round_seconds)
+    merged.update(budgets or {})
+    budgets = merged
     robots_rules = {h: parse_robots(b) for h, b in (robots or {}).items()}
 
     # seed frontier: canonicalize, dedup by hash (min seed_index wins)

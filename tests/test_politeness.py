@@ -51,14 +51,36 @@ def test_selection_is_topk_by_priority_then_hash(spark):
 
 
 def test_robots_parse_and_match():
-    dis, allow = parse_robots(
+    rules = parse_robots(
         "User-agent: googlebot\nDisallow: /secret\n\n"
         "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
-        "Disallow: /tmp\n# comment\nDisallow:\n")
-    assert dis == ["/private", "/tmp"] and allow == ["/private/ok"]
-    rules = (dis, allow)
+        "Disallow: /tmp\n# comment\nDisallow:\nCrawl-delay: 2\n")
+    assert rules.disallow == ["/private", "/tmp"]
+    assert rules.allow == ["/private/ok"]
+    assert rules.crawl_delay == 2.0
     assert allowed_one(rules, "/public")
     assert not allowed_one(rules, "/private/x")
     assert allowed_one(rules, "/private/ok/x")  # longest match wins
     assert not allowed_one(rules, "/tmp")
     assert allowed_one(None, "/anything")
+
+
+def test_robots_wildcards_and_anchors():
+    rules = parse_robots(
+        "User-agent: *\nDisallow: /*.pdf$\nDisallow: /cgi/*/run\n"
+        "Allow: /cgi/safe/run\n")
+    assert not allowed_one(rules, "/docs/file.pdf")
+    assert allowed_one(rules, "/docs/file.pdf.html")  # $ anchors the end
+    assert not allowed_one(rules, "/cgi/x/run")
+    assert allowed_one(rules, "/cgi/safe/run")  # allow more specific
+    assert allowed_one(rules, "/cgi/run")
+
+
+def test_crawl_delay_budgets():
+    from __spider_spark.operators.robots import robots_budgets
+    b = robots_budgets(
+        {"slow.test": "User-agent: *\nCrawl-delay: 10\n",
+         "fast.test": "User-agent: *\nDisallow: /x\n",
+         "verys.test": "User-agent: *\nCrawl-delay: 120\n"},
+        round_seconds=60)
+    assert b == {"slow.test": 6, "verys.test": 1}
