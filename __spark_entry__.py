@@ -553,6 +553,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ivf_topk(emb, qv, k=10, n_clusters=8, n_probe=2, exclude_id=0)
     q["q38_ann_ivf"] = q38
 
+    # end-to-end near-dedup: LSH candidates -> exact-Jaccard verify ->
+    # drop the higher id of each confirmed pair
+    def q39(spark, sf):
+        from __spider_spark.operators.dedup import near_dedup_keep
+        return near_dedup_keep(_t(spark, sf, "documents"), "text", "doc_id",
+                               n_hashes=16, n_bands=8, rows_per_band=2,
+                               threshold=0.5)
+    q["q39_near_dedup_corpus"] = q39
+
     return q
 
 
@@ -932,6 +941,50 @@ def oracle_sql() -> dict[str, str]:
     o["q35_semi_join"] = """
         SELECT c_custkey, c_mktsegment FROM customer
         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """
+
+    band_keys_82 = ", ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(f"CAST(h{b * 2 + r} AS VARCHAR)" for r in range(2))
+        + f")) AS band{b}"
+        for b in range(8)
+    )
+    band_names_82 = ", ".join(f"band{b}" for b in range(8))
+    o["q39_near_dedup_corpus"] = f"""
+        WITH sh AS (
+            SELECT doc_id, unnest(list_distinct({sh3})) AS sh FROM documents
+        ), based AS (
+            SELECT doc_id, {base_sql} AS base
+            FROM sh
+        ), sig AS (
+            SELECT doc_id, {band_rows}
+            FROM based GROUP BY doc_id
+        ), bands AS (
+            SELECT doc_id, band, band_key FROM (
+                SELECT doc_id, {band_keys_82} FROM sig
+            ) UNPIVOT (band_key FOR band IN ({band_names_82}))
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ), dup AS (
+            SELECT i.doc_b
+            FROM inter i
+            JOIN cand c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+            WHERE round(i.n_inter /
+                  CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE), 4) >= 0.5
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT doc_b FROM dup)
     """
 
     o["q36_embedding_near_dup"] = """

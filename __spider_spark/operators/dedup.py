@@ -176,6 +176,25 @@ def ngram_jaccard_pairs(
     )
 
 
+def near_dedup_keep(
+    df: DataFrame, text_col: str, id_col: str,
+    n_hashes: int = 16, n_bands: int = 8, rows_per_band: int = 2,
+    k: int = 3, threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-dedup: MinHash → banded LSH candidates → exact
+    Jaccard verify → keep the lowest id of every near-dup pair.
+
+    The 100 TB pipeline shape: the only O(n²)-looking step (Jaccard) runs
+    ONLY on LSH-colliding pairs. Output: (doc_id) of survivors."""
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, k)
+    cand = lsh_candidate_pairs(sig, n_bands, rows_per_band)
+    dup_pairs = ngram_jaccard_pairs(df, text_col, id_col, k, threshold,
+                                    candidates=cand)
+    losers = dup_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return df.select(F.col(id_col).alias("doc_id")) \
+             .join(losers, "doc_id", "left_anti")
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str,
             n_bits: int = 60) -> DataFrame:
     """60-bit SimHash: per bit position, majority vote of token-hash bits
