@@ -562,6 +562,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                threshold=0.5)
     q["q39_near_dedup_corpus"] = q39
 
+    # iterative PageRank over a link graph (frontier prioritization);
+    # iterative -> no SQL twin -> rows-only check, pinned in pytest instead
+    def q40(spark, sf):
+        from __spider_spark.operators.graph import pagerank
+        edges = (
+            _t(spark, sf, "lineitem")
+            .select(F.col("l_suppkey").alias("src"),
+                    F.col("l_partkey").alias("dst"))
+            .distinct()
+        )
+        return (
+            pagerank(edges, n_iter=5)
+            .orderBy(F.col("rank").desc(), F.col("node").asc())
+            .limit(20)
+            .select("node", F.round(F.col("rank"), 6).alias("rank_r"))
+        )
+    q["q40_pagerank_topk"] = q40
+
     return q
 
 
