@@ -145,8 +145,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.substring(F.col("l_returnflag"), 1, 1).alias("flag_code"),
             F.date_format(F.col("l_shipdate"), "yyyy-MM").alias("ship_month"),
             F.round(F.col("l_discount") * 100, 1).alias("discount_pct"),
+            # raw IEEE double product: two fp ops, bit-identical in any
+            # engine -> hash-exact without decimal rounding-mode drift
             (F.col("l_extendedprice") * (1 - F.col("l_discount")))
-            .cast("decimal(18,4)").alias("net_price"),
+            .alias("net_price"),
         )
     q["q04_derived_columns"] = q04
 
@@ -227,15 +229,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q10_metrics_counters"] = q10
 
-    # A3/A4 — per-group rollup (TPC-H Q1 shape)
+    # A3/A4 — per-group rollup (TPC-H Q1 shape). Sums run in the exact
+    # integer domain (quantities are integral; prices/discounts are fixed
+    # 2/4-decimal values -> scaled BIGINTs), so results are independent of
+    # fp summation order and hash-exact vs any engine; the averages are a
+    # single IEEE division of two exact integers.
     def q11(spark, sf):
+        qty = F.round(F.col("l_quantity")).cast("long")
+        cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+        disc_bp = F.round(F.col("l_discount") * 10000).cast("long")
         return (
             _t(spark, sf, "lineitem")
             .groupBy("l_returnflag", "l_linestatus")
             .agg(
-                F.sum("l_quantity").cast("decimal(18,2)").alias("sum_qty"),
-                F.sum("l_extendedprice").cast("decimal(18,2)").alias("sum_price"),
-                F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                F.sum(qty).alias("sum_qty"),
+                F.sum(cents).alias("sum_price_cents"),
+                (F.sum(disc_bp).cast("double")
+                 / (F.count("*") * F.lit(10000))).alias("avg_disc"),
                 F.count("*").alias("count_order"),
             )
         )
@@ -621,8 +631,7 @@ def oracle_sql() -> dict[str, str]:
                substr(l_returnflag, 1, 1) AS flag_code,
                strftime(l_shipdate, '%Y-%m') AS ship_month,
                round(l_discount * 100, 1) AS discount_pct,
-               CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
-                   AS net_price
+               l_extendedprice * (1 - l_discount) AS net_price
         FROM lineitem
     """
 
@@ -676,7 +685,8 @@ def oracle_sql() -> dict[str, str]:
 
     o["q10_metrics_counters"] = """
         SELECT event_type, count(*) AS total,
-               sum(CASE WHEN value > 5 THEN 1 ELSE 0 END) AS big,
+               CAST(sum(CASE WHEN value > 5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS big,
                round(sum(CASE WHEN value > 5 THEN 1 ELSE 0 END)
                      / CAST(count(*) AS DOUBLE), 4) AS big_rate
         FROM events GROUP BY event_type
@@ -684,9 +694,12 @@ def oracle_sql() -> dict[str, str]:
 
     o["q11_group_rollup"] = """
         SELECT l_returnflag, l_linestatus,
-               CAST(sum(l_quantity) AS DECIMAL(18,2)) AS sum_qty,
-               CAST(sum(l_extendedprice) AS DECIMAL(18,2)) AS sum_price,
-               round(avg(l_discount), 4) AS avg_disc,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS sum_qty,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS sum_price_cents,
+               CAST(sum(CAST(round(l_discount * 10000) AS BIGINT))
+                    AS DOUBLE) / (count(*) * 10000) AS avg_disc,
                count(*) AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus
     """
@@ -776,7 +789,8 @@ def oracle_sql() -> dict[str, str]:
         FROM inter
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2
+        WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 4)
+              >= 0.2
     """
 
     o["q19_simhash"] = f"""
@@ -791,8 +805,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id, p.range
         )
         SELECT doc_id,
-               sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << pos)
-                        ELSE 0 END) AS simhash
+               CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << pos)
+                             ELSE 0 END) AS BIGINT) AS simhash
         FROM bits GROUP BY doc_id
     """
 
@@ -854,10 +868,10 @@ def oracle_sql() -> dict[str, str]:
 
     o["q24_sessionize"] = """
         SELECT user_id, event_id,
-               sum(new_sess) OVER (
+               CAST(sum(new_sess) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS session_seq
+                   AS BIGINT) AS session_seq
         FROM (
             SELECT user_id, event_id, ts,
                    CASE WHEN lag(ts) OVER (

@@ -144,24 +144,41 @@ def ngram_jaccard_pairs(
 
     |A∩B| comes from a shingle equi-join (never a cartesian);
     |A∪B| = |A|+|B|-|A∩B|. If ``candidates`` (doc_a, doc_b) is given —
-    normally the LSH output — only those pairs are scored (the 100 TB path:
-    LSH candidates → exact verify)."""
+    normally the LSH output — the intersection is computed ONLY for those
+    pairs (the 100 TB path: LSH candidates → exact verify). The join is
+    driven FROM the candidate list, so a boilerplate shingle shared by
+    millions of docs cannot fan out beyond |candidates| × shingles-per-doc:
+    candidates ⋈ shingles(doc_a) ⋈ shingles(doc_b) on (doc_b, sh).
+
+    Without ``candidates`` this is the exact all-pairs mode (inherently
+    quadratic in co-shingling docs) — small corpora / oracle checks only."""
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"),
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, "sh")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+        cand = candidates.select("doc_a", "doc_b").distinct()
+        a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh"))
+        b = sh.select(F.col("doc_id").alias("b_doc"),
+                      F.col("sh").alias("sh_b"))
+        inter = (
+            cand.join(a, "doc_a")
+            .join(b, (F.col("doc_b") == F.col("b_doc"))
+                  & (F.col("sh") == F.col("sh_b")))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, "sh")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("n_inter"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
@@ -200,27 +217,27 @@ def simhash(df: DataFrame, text_col: str, id_col: str,
     """60-bit SimHash: per bit position, majority vote of token-hash bits
     (+1/-1), weighted by token frequency. Output: (doc_id, simhash long).
 
-    Two shuffles: groupBy(doc, pos) then groupBy(doc); the bit explosion is
-    map-side. 60 bits (not 64) keeps the value positive in a signed long
-    identically in Spark and DuckDB."""
+    ONE shuffle: the 60 per-bit votes are 60 aggregate expressions in a
+    single groupBy(doc_id), so map-side partial aggregation reduces each
+    partition to 60 longs per doc BEFORE the shuffle — no 60× row explode
+    (the earlier groupBy(doc, pos) form shuffled one row per (doc, bit)).
+    60 bits (not 64) keeps the value positive in a signed long identically
+    in Spark and DuckDB."""
     tok = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
     ).withColumn("th", hash60(F.col("tok")))
-    bits = tok.select(
-        "doc_id", "th",
-        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("pos"),
-    ).withColumn(
-        # pyspark's shiftright() helper only takes a literal shift; the SQL
-        # function accepts a column expression
-        "contrib",
-        F.when(F.expr("(shiftright(th, pos) & 1) = 1"),
-               F.lit(1)).otherwise(F.lit(-1)),
-    )
-    votes = bits.groupBy("doc_id", "pos").agg(F.sum("contrib").alias("v"))
-    return votes.groupBy("doc_id").agg(
+    votes = [
         F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), pos)"))
-            .otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+            F.when(F.expr(f"(shiftright(th, {j}) & 1) = 1"), F.lit(1))
+            .otherwise(F.lit(-1))
+        ).alias(f"v{j}")
+        for j in range(n_bits)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*votes)
+    sim = None
+    for j in range(n_bits):
+        term = F.when(F.col(f"v{j}") > 0,
+                      F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return per_doc.select("doc_id", sim.alias("simhash"))
