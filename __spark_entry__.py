@@ -45,7 +45,12 @@ from __spider_spark.operators.dedup import (  # noqa: E402
     shingles_sql,
     simhash,
 )
+from __spider_spark.operators.order import global_rank  # noqa: E402
 from __spider_spark.operators.politeness import clip_wave  # noqa: E402
+from __spider_spark.operators.retry import (  # noqa: E402
+    quarantine_rollup,
+    retry_audit,
+)
 from __spider_spark.operators.seen import filter_unseen  # noqa: E402
 from __spider_spark.operators.similarity import (  # noqa: E402
     cosine_topk,
@@ -86,12 +91,13 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(url_hash_col(F.col("u")).alias("url_hash"))
     wave = clip_wave(filter_unseen(frontier, seen), None,
                      default_budget=3, salt_buckets=8)
-    from pyspark.sql import Window
-    return wave.withColumn(
-        "fetch_order",
-        F.row_number().over(Window.orderBy(F.col("priority").desc(),
-                                           F.col("url_hash").asc())),
-    ).select("fetch_order", "url", "host", "c_custkey", "priority")
+    # parallel deterministic total order — a bare Window.orderBy would pull
+    # the whole wave through ONE task (the exact wall operators/order.py
+    # removes from the crawl path)
+    wave = global_rank(
+        wave, [F.col("priority").desc(), F.col("url_hash").asc()],
+        rank_col="fetch_order")
+    return wave.select("fetch_order", "url", "host", "c_custkey", "priority")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -590,6 +596,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q40_pagerank_topk"] = q40
 
+    # retry-pyramid audit over a fetch-attempt log (the crawl's live
+    # ladder is pinned in tests/test_retry.py; this is the offline audit
+    # of the same bounded-retry rule — reference:
+    # YlSpiderMiddleware.py:80-109)
+    def q41(spark, sf):
+        log = _t(spark, sf, "events").select(
+            "user_id", "event_id", "ts",
+            (F.col("event_type") == "error").alias("failed"))
+        return retry_audit(
+            log, key_col="user_id", order_cols=("ts", "event_id"),
+            failed_col="failed", max_attempts=3,
+        ).select("user_id", "event_id", "attempt_no", "fail_no",
+                 "disposition")
+    q["q41_retry_audit"] = q41
+
+    # per-key quarantine rollup (errors-table accounting, S13)
+    def q42(spark, sf):
+        log = _t(spark, sf, "events").select(
+            "user_id", "event_id", "ts",
+            (F.col("event_type") == "error").alias("failed"))
+        return quarantine_rollup(
+            log, key_col="user_id", order_cols=("ts", "event_id"),
+            failed_col="failed", max_attempts=3)
+    q["q42_quarantine_rollup"] = q42
+
+    # IVF at full probe == exact brute force (the oracle-checkable end of
+    # the IVF family; the 2-probe approximate variant stays rows-only q38)
+    def q43(spark, sf):
+        from __spider_spark.operators.similarity import ivf_topk
+        emb = _t(spark, sf, "embeddings")
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        return ivf_topk(emb, qv, k=10, n_clusters=8, n_probe=8,
+                        exclude_id=0)
+    q["q43_ann_ivf_fullprobe"] = q43
+
     return q
 
 
@@ -1038,5 +1080,74 @@ def oracle_sql() -> dict[str, str]:
                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
         FROM documents
     """
+
+    # q40: 5 PageRank iterations unrolled as chained CTEs. Constants are
+    # built with the same IEEE ops as the engine (Python 1.0-0.85 !=
+    # decimal 0.15 — hence the explicit DOUBLE casts), and each iteration
+    # rounds to 10 dp exactly like operators/graph.py.
+    base = (1.0 - 0.85)  # engine computes F.lit(1.0 - damping)
+    pr_parts = [
+        "WITH edges AS (SELECT DISTINCT l_suppkey AS src, "
+        "l_partkey AS dst FROM lineitem), "
+        "nodes AS (SELECT src AS node FROM edges "
+        "UNION SELECT dst FROM edges), "
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src), "
+        "r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes)"
+    ]
+    for i in range(1, 6):
+        pr_parts.append(
+            f", r{i} AS (SELECT n.node, "
+            f"round(CAST({base!r} AS DOUBLE) + CAST(0.85 AS DOUBLE) * "
+            f"coalesce(c.c, CAST(0.0 AS DOUBLE)), 10) AS rank "
+            f"FROM nodes n LEFT JOIN ("
+            f"SELECT e.dst AS node, sum(r.rank / d.deg) AS c "
+            f"FROM edges e JOIN r{i-1} r ON e.src = r.node "
+            f"JOIN deg d ON e.src = d.src GROUP BY e.dst) c "
+            f"ON n.node = c.node)"
+        )
+    pr_parts.append(
+        " SELECT node, round(rank, 6) AS rank_r FROM r5 "
+        "ORDER BY rank DESC, node ASC LIMIT 20"
+    )
+    o["q40_pagerank_topk"] = "".join(pr_parts)
+
+    o["q41_retry_audit"] = """
+        SELECT user_id, event_id, attempt_no,
+               CAST(fail_no AS BIGINT) AS fail_no,
+               CASE WHEN NOT failed THEN 'ok'
+                    WHEN fail_no < 3 THEN 'retried'
+                    ELSE 'quarantined' END AS disposition
+        FROM (
+            SELECT user_id, event_id,
+                   event_type = 'error' AS failed,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS attempt_no,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS fail_no
+            FROM events
+        )
+    """
+
+    o["q42_quarantine_rollup"] = """
+        SELECT user_id,
+               count(*) AS n_attempts,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_failed,
+               bool_or(fail_no >= 3 AND event_type = 'error')
+                   AS quarantined
+        FROM (
+            SELECT user_id, event_type,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS fail_no
+            FROM events
+        ) GROUP BY user_id
+    """
+
+    o["q43_ann_ivf_fullprobe"] = o["q22_ann_cosine_topk"]
 
     return o

@@ -131,10 +131,17 @@ def host_of_one(url: str | None) -> str | None:
         return ""
 
 
+_FETCHABLE_SCHEMES = ("http", "https")
+
+
 def resolve_one(base: str | None, link: str | None) -> str | None:
     """RFC 3986 §5 reference resolution + canonicalization: how a crawler
     turns an href (possibly relative, scheme-relative, or fragment-only)
-    found on ``base`` into a frontier key. Pure; never raises."""
+    found on ``base`` into a frontier key. Pure; never raises.
+
+    Non-fetchable schemes (mailto:, javascript:, tel:, data:, ...) return
+    None — canonicalize_one's http:// default is for host-shaped *seed*
+    input only, and must not fabricate fetchable URLs out of hrefs."""
     if link is None:
         return None
     link = link.strip()
@@ -145,6 +152,12 @@ def resolve_one(base: str | None, link: str | None) -> str | None:
             link = urljoin(base, link)
         except ValueError:
             pass
+    try:
+        scheme = urlsplit(link).scheme.lower()
+    except ValueError:
+        return None
+    if scheme and scheme not in _FETCHABLE_SCHEMES:
+        return None
     return canonicalize_one(link)
 
 

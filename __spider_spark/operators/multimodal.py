@@ -1,13 +1,19 @@
 """Multimodal column plumbing: binary payloads + typed metadata.
 
 Image/audio/video payloads are opaque ``binary`` columns with a typed
-metadata struct; decode / feature-extract / resize / frame-sample run as
-Arrow-batched ``mapInPandas`` stages. The image/audio codec libraries are
-NOT in this container, so the decode kernels are STUBBED behind
-``SPIDER_SPARK_FAKE_DECODE`` (deterministic fake) or raise
-NotImplementedError — but the Spark-side plumbing (schema, partitioning,
-UDF signature, batch shape) is real and tested: swapping in PIL/ffmpeg
-touches only ``_decode_image_bytes``.
+metadata struct; decode / feature-extract run as Arrow-batched
+``mapInPandas`` stages.
+
+Decode status per format:
+  * **BMP (24-bit uncompressed)** — REAL decode, pure struct parsing
+    (no codec lib needed): width/height from BITMAPINFOHEADER, channel
+    means + quadrant lumas as the 8-dim feature.
+  * **WAV (16-bit PCM)** — REAL decode via the stdlib ``wave`` module:
+    sample_rate/n_frames plus 8-segment RMS as the feature.
+  * everything else (PNG/JPEG/MP4...) — needs PIL/opencv/ffmpeg, absent in
+    this container: stubbed behind ``SPIDER_SPARK_FAKE_DECODE``
+    (deterministic fake) or reported as ``codec_missing``. Swapping in a
+    real codec touches only ``_decode_other``.
 
 Design rules for the 100 TB case:
   * payloads travel in their own column so scheduling/metadata queries
@@ -21,8 +27,11 @@ Design rules for the 100 TB case:
 from __future__ import annotations
 
 import hashlib
+import io
+import math
 import os
 import struct
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -33,19 +42,113 @@ MEDIA_SCHEMA = (
     "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
 )
 
-FEATURE_SCHEMA = "media_id long, kind string, feature array<float>, note string"
+FEATURE_SCHEMA = (
+    "media_id long, kind string, feature array<float>, "
+    "width int, height int, sample_rate int, n_frames int, note string"
+)
 
 
-def _decode_image_bytes(payload: bytes, fake: bool) -> tuple[int, int, list[float]]:
-    """Decode an image payload -> (width, height, 8-dim feature).
+# -- real decoders (stdlib only) ------------------------------------------
 
-    STUB: real impl uses PIL/opencv (absent in this container). With
-    ``fake`` a deterministic stand-in derives the values from the payload
-    hash, keeping every byte of the distributed plumbing exercised;
-    otherwise this raises, exactly like a missing codec would."""
+def encode_bmp(width: int, height: int, pixel) -> bytes:
+    """Minimal 24-bit uncompressed BMP writer (test/synth helper).
+    ``pixel(x, y) -> (r, g, b)``; rows padded to 4 bytes, bottom-up."""
+    row_size = (width * 3 + 3) & ~3
+    data = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(width):
+            r, g, b = pixel(x, y)
+            row += bytes((b, g, r))  # BGR on disk
+        row += b"\x00" * (row_size - len(row))
+        data += row
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       len(data), 2835, 2835, 0, 0)
+    return bytes(header) + info + bytes(data)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
+    """Real 24-bit BMP decode: (width, height, feature[8]) where feature =
+    (mean R, mean G, mean B, mean luma, luma of 4 quadrants), all in [0,1]."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    width = struct.unpack_from("<i", payload, 18)[0]
+    height_raw = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError("only 24-bit uncompressed BMP supported")
+    height = abs(height_raw)
+    bottom_up = height_raw > 0
+    row_size = (width * 3 + 3) & ~3
+    sums = [0.0, 0.0, 0.0]
+    quad = [0.0, 0.0, 0.0, 0.0]
+    quad_n = [0, 0, 0, 0]
+    for row_i in range(height):
+        y = (height - 1 - row_i) if bottom_up else row_i
+        base = data_offset + row_i * row_size
+        for x in range(width):
+            b = payload[base + 3 * x]
+            g = payload[base + 3 * x + 1]
+            r = payload[base + 3 * x + 2]
+            sums[0] += r
+            sums[1] += g
+            sums[2] += b
+            luma = 0.299 * r + 0.587 * g + 0.114 * b
+            qi = (2 if y >= (height + 1) // 2 else 0) + (
+                1 if x >= (width + 1) // 2 else 0)
+            quad[qi] += luma
+            quad_n[qi] += 1
+    n = float(width * height)
+    feat = [s / n / 255.0 for s in sums]
+    feat.append(sum(quad) / n / 255.0)
+    feat += [(q / qn / 255.0) if qn else 0.0 for q, qn in zip(quad, quad_n)]
+    return width, height, [float(v) for v in feat]
+
+
+def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
+    """Minimal 16-bit PCM mono WAV writer (test/synth helper)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, list[float]]:
+    """Real WAV decode via stdlib ``wave``: (sample_rate, n_frames,
+    feature[8]) where feature = RMS of 8 equal segments, normalized."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+            raise ValueError("only 16-bit PCM mono WAV supported")
+        rate = w.getframerate()
+        n = w.getnframes()
+        raw = w.readframes(n)
+    vals = struct.unpack(f"<{n}h", raw)
+    seg = max(1, n // 8)
+    feat = []
+    for s in range(8):
+        chunk = vals[s * seg:(s + 1) * seg]
+        if chunk:
+            rms = math.sqrt(sum(v * v for v in chunk) / len(chunk))
+            feat.append(float(rms / 32768.0))
+        else:
+            feat.append(0.0)
+    return rate, n, feat
+
+
+def _decode_other(payload: bytes, fake: bool) -> tuple[int, int, list[float]]:
+    """Non-stdlib formats (PNG/JPEG/MP4...): real impl needs PIL/opencv/
+    ffmpeg, absent in this container. With ``fake`` a deterministic
+    stand-in derives values from the payload hash, keeping the distributed
+    plumbing exercised; otherwise raises, exactly like a missing codec."""
     if not fake:
         raise NotImplementedError(
-            "image decode requires PIL/opencv (not in this container); "
+            "decode requires PIL/opencv/ffmpeg (not in this container); "
             "set SPIDER_SPARK_FAKE_DECODE=1 for the deterministic stub"
         )
     h = hashlib.blake2b(payload, digest_size=40).digest()
@@ -56,7 +159,8 @@ def _decode_image_bytes(payload: bytes, fake: bool) -> tuple[int, int, list[floa
 
 
 def decode_features(media: DataFrame, fake: bool | None = None) -> DataFrame:
-    """mapInPandas decode stage: binary payload -> feature vector.
+    """mapInPandas decode stage: binary payload -> feature vector + decoded
+    metadata. BMP and WAV decode for real; other formats hit the codec stub.
 
     ``fake`` is resolved DRIVER-side at plan time (env vars set after worker
     daemons start are not visible executor-side) and baked into the closure."""
@@ -65,44 +169,85 @@ def decode_features(media: DataFrame, fake: bool | None = None) -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats, notes = [], []
+            out = {"feature": [], "width": [], "height": [],
+                   "sample_rate": [], "n_frames": [], "note": []}
+
+            def emit(feat=None, w=None, h=None, sr=None, nf=None, note="ok"):
+                out["feature"].append(feat)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sample_rate"].append(sr)
+                out["n_frames"].append(nf)
+                out["note"].append(note)
+
             for payload in pdf["payload"]:
+                p = bytes(payload)
                 try:
-                    _, _, f = _decode_image_bytes(bytes(payload), fake)
-                    feats.append(f)
-                    notes.append("ok")
+                    if p[:2] == b"BM":
+                        w, h, feat = decode_bmp(p)
+                        emit(feat, w=w, h=h)
+                    elif p[:4] == b"RIFF":
+                        sr, nf, feat = decode_wav(p)
+                        emit(feat, sr=sr, nf=nf)
+                    else:
+                        w, h, feat = _decode_other(p, fake)
+                        emit(feat, w=w, h=h)
                 except NotImplementedError:
-                    feats.append(None)
-                    notes.append("codec_missing")
+                    emit(note="codec_missing")
+                except (ValueError, struct.error, wave.Error, EOFError):
+                    emit(note="decode_error")
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
-                "feature": feats,
-                "note": notes,
+                **out,
             })
 
     return media.mapInPandas(decode, schema=FEATURE_SCHEMA)
 
 
 def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (payload = seeded bytes + a fake
-    header carrying the 'true' metadata, so tests can assert round-trips)."""
+    """Deterministic fake media table. Image rows carry REAL 24-bit BMPs,
+    audio rows REAL 16-bit PCM WAVs (both synthesized from the seed), and
+    video rows an opaque payload (exercises the codec-missing path)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
+                i = int(i)
                 body = hashlib.blake2b(
-                    f"{seed}:media:{int(i)}".encode(), digest_size=32
+                    f"{seed}:media:{i}".encode(), digest_size=32
                 ).digest() * 4
-                w, h = 1 + body[0] % 64, 1 + body[1] % 64
-                payload = struct.pack("<II", w, h) + body
+                kind = ("image", "audio", "video")[i % 3]
+                if kind == "image":
+                    w, h = 2 + body[0] % 15, 2 + body[1] % 15
+
+                    def pixel(x, y, _b=body):
+                        return (_b[(x + y) % 32], _b[(x * 3 + y) % 32],
+                                _b[(x + y * 7) % 32])
+
+                    payload = encode_bmp(w, h, pixel)
+                    meta = {"width": w, "height": h,
+                            "sample_rate": None, "n_frames": 1}
+                elif kind == "audio":
+                    rate = 8000
+                    nf = 64 + body[2] % 192
+                    samples = [
+                        int(20000 * math.sin(2 * math.pi * (body[3] % 16 + 1)
+                                             * t / rate))
+                        for t in range(nf)
+                    ]
+                    payload = encode_wav(rate, samples)
+                    meta = {"width": None, "height": None,
+                            "sample_rate": rate, "n_frames": nf}
+                else:
+                    payload = body
+                    meta = {"width": 1 + body[0] % 64,
+                            "height": 1 + body[1] % 64,
+                            "sample_rate": 16000, "n_frames": 1 + i % 30}
                 rows.append({
-                    "media_id": int(i),
-                    "kind": ("image", "audio", "video")[int(i) % 3],
-                    "payload": payload,
-                    "meta": {"width": w, "height": h,
-                             "sample_rate": 16000, "n_frames": 1 + int(i) % 30},
+                    "media_id": i, "kind": kind,
+                    "payload": payload, "meta": meta,
                 })
             yield pd.DataFrame(rows)
 

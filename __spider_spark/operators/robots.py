@@ -1,15 +1,21 @@
-"""robots.txt gate: broadcast per-host rule cache + vectorized allow check.
+"""robots.txt gate: per-host rules DIMENSION + vectorized allow check.
 
 The reference crawls with ``ROBOTSTXT_OBEY = False``
 (/root/reference/settings.py:21) — the engine makes compliance a first-class
-operator instead (north_star requirement). Robots bodies form a small
-per-host relation (FIXTURES.md §5) parsed ONCE on the driver for
-User-agent ``*`` and broadcast; the check is an Arrow-batched pandas UDF
-over (host, path).
+operator instead (north_star requirement). Robots bodies live in a per-host
+rules *DataFrame* (host, disallow[], allow[], crawl_delay) — parsed
+DISTRIBUTED by a pandas UDF, storable in the lakehouse, refreshable per
+round, and joined onto the frontier (broadcast- or bucket-join). Nothing is
+parsed on the driver and no driver dict is broadcast, so 10^8 hosts work
+the same way 10 hosts do; only the rules for hosts actually present in the
+wave flow through the join.
 
 Semantics (Google's documented robots rules):
   * ``*`` in a pattern matches any character sequence; ``$`` anchors the
     pattern end; otherwise prefix match;
+  * patterns match against path + '?query' when a query string is present
+    (Google REP matches the full path-and-query, so ``Disallow: /*?sid=``
+    works);
   * most-specific (longest pattern) wins between Allow and Disallow,
     Allow wins ties;
   * empty Disallow value = allow-all; unknown host = allowed;
@@ -24,9 +30,17 @@ import re
 from dataclasses import dataclass, field
 
 import pandas as pd
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BooleanType
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 
 @dataclass
@@ -99,17 +113,101 @@ def robots_budgets(robots_bodies: dict[str, str],
     return out
 
 
-def robots_allowed_udf(spark: SparkSession, robots_bodies: dict[str, str]):
-    """Build the vectorized (host, path) -> allowed predicate."""
-    parsed = {h: parse_robots(b) for h, b in robots_bodies.items()}
-    bc = spark.sparkContext.broadcast(parsed)
+# -- distributed rules dimension ---------------------------------------
 
-    @pandas_udf(BooleanType())
-    def robots_allowed(host: pd.Series, path: pd.Series) -> pd.Series:
-        rules = bc.value
-        return pd.Series(
-            [allowed_one(rules.get(h), p if p else "/")
-             for h, p in zip(host, path)]
+RULES_SCHEMA = StructType([
+    StructField("disallow", ArrayType(StringType())),
+    StructField("allow", ArrayType(StringType())),
+    StructField("crawl_delay", DoubleType()),
+])
+
+
+@pandas_udf(RULES_SCHEMA)
+def parse_robots_udf(bodies: pd.Series) -> pd.DataFrame:
+    """Vectorized robots.txt parse (Arrow-batched) — runs on executors."""
+    parsed = [parse_robots(b) for b in bodies]
+    return pd.DataFrame({
+        "disallow": [r.disallow for r in parsed],
+        "allow": [r.allow for r in parsed],
+        "crawl_delay": [r.crawl_delay for r in parsed],
+    })
+
+
+def robots_rules_df(spark: SparkSession,
+                    robots: dict[str, str] | DataFrame | None) -> DataFrame | None:
+    """Per-host rules dimension: (host, disallow, allow, crawl_delay).
+
+    Accepts either a (host, body) DataFrame — the web-scale path, e.g. a
+    lakehouse robots table refreshed per round — or a small dict (test /
+    config convenience). Parsing always runs distributed; the driver never
+    holds parsed rules."""
+    if robots is None:
+        return None
+    if isinstance(robots, dict):
+        if not robots:
+            return None
+        bodies = spark.createDataFrame(
+            list(robots.items()), "host string, body string")
+    else:
+        bodies = robots
+    return bodies.select(
+        "host", parse_robots_udf(F.col("body")).alias("r")
+    ).select("host", "r.disallow", "r.allow", "r.crawl_delay")
+
+
+@pandas_udf(BooleanType())
+def _allowed_joined(pathq: pd.Series, disallow: pd.Series,
+                    allow: pd.Series) -> pd.Series:
+    """(path?query, disallow[], allow[]) -> allowed. Null rule arrays mean
+    'no robots row for this host' -> allowed."""
+    out = []
+    for p, dis, alw in zip(pathq, disallow, allow):
+        if dis is None and alw is None:
+            out.append(True)
+            continue
+        rules = RobotsRules(list(dis or []), list(alw or []), None)
+        out.append(allowed_one(rules, p if p else "/"))
+    return pd.Series(out)
+
+
+def pathq_col(url_col):
+    """Robots match target: path plus '?query' when a query is present
+    (Google REP matches path-and-query, not the bare path)."""
+    path = F.coalesce(F.parse_url(url_col, F.lit("PATH")), F.lit("/"))
+    query = F.parse_url(url_col, F.lit("QUERY"))
+    return F.when(query.isNotNull() & (query != ""),
+                  F.concat(path, F.lit("?"), query)).otherwise(path)
+
+
+def robots_gate(df: DataFrame, rules_df: DataFrame | None,
+                url_col: str = "url", host_col: str = "host",
+                flag_col: str = "__allowed") -> DataFrame:
+    """Attach the robots verdict as ``flag_col`` via a broadcast join of the
+    rules dimension on host (bucket-join it instead at 10^8 hosts) + one
+    Arrow-batched predicate over (path?query, rules)."""
+    if rules_df is None:
+        return df.withColumn(flag_col, F.lit(True))
+    joined = df.join(
+        F.broadcast(rules_df.withColumnRenamed("host", host_col)),
+        host_col, "left")
+    return joined.withColumn(
+        flag_col,
+        _allowed_joined(pathq_col(F.col(url_col)),
+                        F.col("disallow"), F.col("allow")),
+    ).drop("disallow", "allow", "crawl_delay")
+
+
+def budgets_from_rules(rules_df: DataFrame,
+                       round_seconds: float = 60.0) -> DataFrame:
+    """Crawl-delay directives → per-host politeness budgets, computed as a
+    pure Column expression on the rules dimension (no driver parsing)."""
+    return (
+        rules_df.filter(F.col("crawl_delay") > 0)
+        .select(
+            "host",
+            F.greatest(
+                F.lit(1),
+                F.floor(F.lit(round_seconds) / F.col("crawl_delay"))
+            ).cast("int").alias("budget"),
         )
-
-    return robots_allowed
+    )

@@ -86,15 +86,75 @@ def ivf_centroids(
     emb_df: DataFrame, n_clusters: int = 8,
     id_col: str = "vec_id", emb_col: str = "embedding",
 ) -> list[list[float]]:
-    """Deterministic coarse quantizer: centroids = the embeddings of the
-    ``n_clusters`` smallest ids. (Production IVF trains k-means; the index
-    *structure* — assign once, probe few — is what matters here, and a
-    deterministic pick keeps results reproducible across cluster sizes.)"""
+    """Trivial deterministic quantizer: centroids = the embeddings of the
+    ``n_clusters`` smallest ids. Kept as the cheap fallback;
+    ``ivf_centroids_kmeans`` is the recall-bearing quantizer."""
     rows = (
         emb_df.orderBy(F.col(id_col).asc()).limit(n_clusters)
         .select(emb_col).collect()
     )
     return [[float(x) for x in r[0]] for r in rows]
+
+
+def ivf_centroids_kmeans(
+    emb_df: DataFrame, n_clusters: int = 8, n_iter: int = 5,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+) -> list[list[float]]:
+    """Seeded deterministic k-means quantizer (Lloyd, fixed iterations).
+
+    Init: deterministic farthest-point (maximin) — start from the min-id
+    vector, then k-1 times pick the vector least similar to its nearest
+    chosen centroid (ties -> min id). Real data points, maximally spread,
+    zero RNG state. (Hash-binned MEANS were tried first and collapse: the
+    mean of ~n/k random vectors is ≈ the global mean for every bin, so all
+    centroids coincide and Lloyd cannot separate them — purity stayed at
+    chance.) Each Lloyd iteration is one distributed assign (JVM-side
+    argmax over centroid literals) + one elementwise mean via
+    posexplode/groupBy; only k×dim doubles ever reach the driver.
+    Centroids are rounded to 8 dp per iteration so parallel summation
+    noise cannot flip an assignment across cluster sizes (determinism
+    contract)."""
+    def _means(df_with_bin) -> list[list[float]]:
+        rows = (
+            df_with_bin
+            .select("__bin", F.posexplode(
+                F.transform(F.col(emb_col), lambda x: x.cast("double"))
+            ).alias("pos", "v"))
+            .groupBy("__bin", "pos")
+            .agg(F.round(F.avg("v"), 8).alias("m"))
+            .groupBy("__bin")
+            .agg(F.array_sort(F.collect_list(
+                F.struct("pos", "m"))).alias("vals"))
+            .collect()
+        )
+        by_bin = {r["__bin"]: [x["m"] for x in r["vals"]] for r in rows}
+        return [by_bin[b] for b in sorted(by_bin)]
+
+    first = (
+        emb_df.orderBy(F.col(id_col).asc()).limit(1)
+        .select(emb_col).collect()[0][0]
+    )
+    centroids = [[float(x) for x in first]]
+    while len(centroids) < n_clusters:
+        nearest = F.greatest(*[
+            cosine_sim_col(F.col(emb_col), c) for c in centroids
+        ]) if len(centroids) > 1 else cosine_sim_col(F.col(emb_col),
+                                                     centroids[0])
+        far = (
+            emb_df.select(F.col(id_col), F.col(emb_col),
+                          nearest.alias("__near"))
+            .orderBy(F.col("__near").asc(), F.col(id_col).asc())
+            .limit(1).collect()[0]
+        )
+        centroids.append([float(x) for x in far[emb_col]])
+    for _ in range(n_iter):
+        assigned = ivf_assign(emb_df, centroids, emb_col) \
+            .withColumnRenamed("ivf_cluster", "__bin")
+        updated = _means(assigned)
+        if len(updated) < len(centroids):
+            break  # a cluster emptied: keep the previous stable set
+        centroids = updated
+    return centroids
 
 
 def ivf_assign(emb_df: DataFrame, centroids: list[list[float]],

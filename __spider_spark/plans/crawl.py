@@ -52,7 +52,11 @@ from ..functions.urls import (
 )
 from ..operators.order import global_rank
 from ..operators.politeness import clip_wave
-from ..operators.robots import robots_allowed_udf, robots_budgets
+from ..operators.robots import (
+    budgets_from_rules,
+    robots_gate,
+    robots_rules_df,
+)
 from ..operators.seen import SeenBloom, filter_unseen
 from ..sources.lakehouse import Lakehouse
 
@@ -66,7 +70,7 @@ def _prof(label: str, t0: float) -> float:
     return t0
 
 FRONTIER_COLS = ["url", "url_hash", "host", "priority", "round",
-                 "parent_url", "seed_index"]
+                 "parent_url", "seed_index", "attempts"]
 
 
 @dataclass
@@ -79,6 +83,20 @@ class CrawlConfig:
     # scheduling-round wall budget used to turn robots Crawl-delay
     # directives into per-host budgets (reference analogue: DOWNLOAD_DELAY)
     round_seconds: float = 60.0
+    # retry pyramid (reference: YlSpiderMiddleware.py:80-109 retries a
+    # transient failure 2-3 times before giving up): total tries per URL
+    # including the first; a transient (503) failure re-enters the frontier
+    # with priority * retry_decay until max_attempts, then quarantines.
+    max_attempts: int = 3
+    retry_decay: float = 0.5
+    # transient-failure injection for the simulated network: canonical
+    # url -> number of 503s served before the fetch succeeds
+    flaky: dict[str, int] = field(default_factory=dict)
+    # per-round session-state refresh (reference: get_ctrip_cookie.py:40-67
+    # hourly cookie/proxy refresh with TTL): called as f(spark, round_k) and
+    # may return a new robots source (dict or (host, body) DataFrame); None
+    # keeps the current rules.
+    robots_refresh: object = None
     use_bloom: bool = True
     bloom_parts: int = 8
     bloom_bits_per_part: int = 1 << 18
@@ -89,9 +107,12 @@ class CrawlConfig:
 
 
 def _dedup_frontier(df: DataFrame) -> DataFrame:
-    """Deterministic duplicate resolution on url_hash:
-    keep (priority DESC, round ASC, parent_url ASC NULLS FIRST)."""
+    """Deterministic duplicate resolution on url_hash: keep
+    (attempts DESC, priority DESC, round ASC, parent_url ASC NULLS FIRST).
+    attempts ranks first so a rediscovered link can never reset a URL's
+    retry counter (which would un-bound the retry pyramid)."""
     w = Window.partitionBy("url_hash").orderBy(
+        F.col("attempts").desc(),
         F.col("priority").desc(),
         F.col("round").asc(),
         F.col("parent_url").asc_nulls_first(),
@@ -119,25 +140,50 @@ def init_crawl(spark: SparkSession, lake: Lakehouse, seeds: DataFrame,
         .withColumn("priority", F.lit(1.0))
         .withColumn("round", F.lit(1))
         .withColumn("parent_url", F.lit(None).cast("string"))
+        .withColumn("attempts", F.lit(0))
         .select(*FRONTIER_COLS)
     )
     lake.commit(0, replace={"frontier": _dedup_frontier(frontier)})
 
 
-def effective_budgets(cfg: CrawlConfig) -> dict[str, int]:
-    """Crawl-delay-derived budgets, overridden by explicit config."""
-    merged = robots_budgets(cfg.robots, cfg.round_seconds)
-    merged.update(cfg.budgets)
-    return merged
-
-
-def _budgets_df(spark: SparkSession, cfg: CrawlConfig) -> DataFrame | None:
-    budgets = effective_budgets(cfg)
-    if not budgets:
+def _budgets_df(spark: SparkSession, cfg: CrawlConfig,
+                rules_df: DataFrame | None) -> DataFrame | None:
+    """Per-host budget dimension: Crawl-delay-derived budgets from the
+    rules dim, overridden by explicit config budgets. Stays a DataFrame
+    end-to-end — no driver-side parsing or dict merge."""
+    parts = []
+    if rules_df is not None:
+        parts.append(
+            budgets_from_rules(rules_df, cfg.round_seconds)
+            .withColumn("__prec", F.lit(0)))
+    if cfg.budgets:
+        parts.append(
+            spark.createDataFrame(list(cfg.budgets.items()),
+                                  "host string, budget int")
+            .withColumn("__prec", F.lit(1)))
+    if not parts:
         return None
-    return spark.createDataFrame(
-        list(budgets.items()), "host string, budget int"
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    w = Window.partitionBy("host").orderBy(F.col("__prec").desc())
+    return (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__prec")
     )
+
+
+def _flaky_df(spark: SparkSession, cfg: CrawlConfig) -> DataFrame | None:
+    """(url_hash, fail_times) dimension for the simulated transient
+    failures; at scale this would be the real network's behavior."""
+    if not cfg.flaky:
+        return None
+    from ..functions.hashing import spark_xxhash64_str
+    from ..functions.urls import canonicalize_one
+    rows = [(spark_xxhash64_str(canonicalize_one(u)), int(n))
+            for u, n in cfg.flaky.items()]
+    return spark.createDataFrame(rows, "url_hash long, fail_times int")
 
 
 def pages_index(pages: DataFrame) -> DataFrame:
@@ -151,7 +197,10 @@ def pages_index(pages: DataFrame) -> DataFrame:
 
 
 def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
-              cfg: CrawlConfig, bloom: SeenBloom | None = None) -> dict | None:
+              cfg: CrawlConfig, bloom: SeenBloom | None = None,
+              rules_df: DataFrame | None = None,
+              budgets_df: DataFrame | None = None,
+              flaky_df: DataFrame | None = None) -> dict | None:
     """Execute one scheduling round; returns the committed metrics row
     (None when the frontier is exhausted — crawl done)."""
     t0 = time.perf_counter()
@@ -164,26 +213,20 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
 
     # 1+2. candidates = frontier ∖ seen (Bloom-prefiltered anti-join, J6),
     #      then the robots gate (reference disables robots, settings.py:21;
-    #      we don't). Flag once, cache, filter twice — one UDF pass.
+    #      we don't): rules DIM broadcast-joined on host + one Arrow-batched
+    #      predicate over path?query. Flag once, cache, filter twice.
     bloom_udf = None
     if (cfg.use_bloom and seen is not None and bloom is not None
             and bloom.n_keys >= cfg.bloom_min_seen):
         bloom_udf = bloom.udf(spark)
     candidates = filter_unseen(frontier, seen, bloom_udf)
-    allowed_udf = robots_allowed_udf(spark, cfg.robots)
-    flagged = candidates.withColumn(
-        "__allowed",
-        allowed_udf(
-            F.col("host"),
-            F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/")),
-        ),
-    ).cache()
+    flagged = robots_gate(candidates, rules_df).cache()
     allowed = flagged.filter(F.col("__allowed")).drop("__allowed")
     blocked = flagged.filter(~F.col("__allowed")).drop("__allowed")
 
     # 3. politeness clip → this round's wave, with a deterministic total
     #    fetch order (O3 invariant)
-    wave = clip_wave(allowed, _budgets_df(spark, cfg), cfg.default_budget,
+    wave = clip_wave(allowed, budgets_df, cfg.default_budget,
                      cfg.salt_buckets)
     # total fetch order in parallel (a bare Window.orderBy would funnel the
     # whole wave through one task); identical ranks at any parallelism
@@ -193,20 +236,37 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
 
     # 4+5. simulated fetch: wave ⋈ pages (url_hash); missing page -> 404
     #      (the reference's sentinel response, YlSpiderMiddleware.py:186-195,
-    #      becomes a status column, never a magic URL). Text + outlinks come
-    #      from ONE fused parse (extract_page); html is read exactly once.
+    #      becomes a status column, never a magic URL); a flaky page serves
+    #      503 until its fail_times is exhausted (transient-failure class,
+    #      YlSpiderMiddleware.py:80-109). Text + outlinks come from ONE
+    #      fused parse (extract_page); html is read exactly once, and only
+    #      failed fetches keep their raw body (err_html) for the quarantine
+    #      table — the cache never holds payloads for the happy path.
+    fetched = wave.join(pages_idx, "url_hash", "left")
+    if flaky_df is not None:
+        fetched = fetched.join(F.broadcast(flaky_df), "url_hash", "left")
+    else:
+        fetched = fetched.withColumn("fail_times", F.lit(None).cast("int"))
     extracted = (
-        wave.join(pages_idx, "url_hash", "left")
-        .withColumn("status",
-                    F.when(F.col("html").isNotNull(), F.lit(200))
-                     .otherwise(F.lit(404)))
-        .withColumn("page", extract_page(F.col("html")))
+        fetched
+        .withColumn(
+            "status",
+            F.when(F.col("html").isNull(), F.lit(404))
+             .when(F.col("attempts") < F.coalesce(F.col("fail_times"),
+                                                  F.lit(0)), F.lit(503))
+             .otherwise(F.lit(200)))
+        .withColumn("page", extract_page(
+            F.when(F.col("status") == 200, F.col("html"))))
         .withColumn("text", F.col("page.text"))
         .withColumn("links", F.col("page.links"))
-        .drop("html", "page")
+        .withColumn("err_html",
+                    F.when(F.col("status") != 200, F.col("html")))
+        .drop("html", "page", "fail_times")
         .cache()
     )
 
+    # every attempt is logged (503s included — the reference logs failed
+    # tries too), so fetch_order stays gap-free within the round
     results = extracted.select(
         "url", "url_hash", "host",
         F.lit(k).alias("round"), "fetch_order", "status", "text",
@@ -215,6 +275,39 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
             F.spark_partition_id().alias("partition_id"),
             F.col("seed_index"),
         ).alias("lineage"),
+    )
+
+    # 5b. retry pyramid: a transient failure with tries left re-enters the
+    #     frontier with decayed priority and attempts+1 (never marked seen);
+    #     one that exhausted max_attempts is quarantined below.
+    gave_up_cond = F.col("attempts") + 1 >= F.lit(cfg.max_attempts)
+    retries = (
+        extracted.filter((F.col("status") == 503) & ~gave_up_cond)
+        .select(
+            "url", "url_hash", "host",
+            (F.col("priority") * F.lit(cfg.retry_decay)).alias("priority"),
+            F.lit(k + 1).alias("round"),
+            "parent_url", "seed_index",
+            (F.col("attempts") + 1).alias("attempts"),
+        )
+    )
+
+    # 5c. error/artifact quarantine (reference persists failed raw bodies,
+    #     ctripSpider.py:318-332, ylSpider06.py:422-435): permanent 404s and
+    #     gave-up transients land in the ``errors`` table WITH the raw html
+    #     payload, in the same atomic commit.
+    errors = (
+        extracted.filter(
+            (F.col("status") == 404)
+            | ((F.col("status") == 503) & gave_up_cond))
+        .select(
+            "url", "url_hash", "host", F.lit(k).alias("round"),
+            "status",
+            (F.col("attempts") + 1).alias("attempts"),
+            F.when(F.col("status") == 404, F.lit("http_404"))
+             .otherwise(F.lit("gave_up_transient")).alias("error"),
+            F.col("err_html").alias("html"),
+        )
     )
 
     # 6. discover outlinks → next-round frontier entries
@@ -227,7 +320,8 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
             F.col("seed_index"),
         )
         # hrefs may be relative / scheme-relative / fragment-only — resolve
-        # against the parent page (RFC 3986 §5) before canonicalizing
+        # against the parent page (RFC 3986 §5) before canonicalizing;
+        # non-fetchable schemes (mailto:, javascript:) resolve to NULL
         .withColumn("url", resolve_link(F.col("parent_url"),
                                         F.col("raw_link")))
         .filter(F.col("url").isNotNull() & (F.col("url") != ""))
@@ -236,28 +330,38 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
         .withColumn("priority",
                     F.col("parent_priority") * F.lit(cfg.priority_decay))
         .withColumn("round", F.lit(k + 1))
+        .withColumn("attempts", F.lit(0))
         .select(*FRONTIER_COLS)
     )
 
-    # 7. state transition: everything waved or robots-blocked is now seen;
-    #    frontier' = (frontier ∖ newly_seen ∖ seen) ∪ discovered, deduped
+    # 7. state transition: terminal outcomes (fetched / 404 / gave-up /
+    #    robots-blocked) become seen; retries do NOT. frontier' =
+    #    ((frontier ∪ discovered) ∖ waved ∖ seen) ∪ retries, deduped with
+    #    attempts ranked first so rediscovery can't reset a retry counter.
     newly_seen = (
-        extracted.select(
+        extracted.filter(F.col("status") != 503)
+        .select(
             "url_hash", "url",
             F.when(F.col("status") == 200, "fetched")
              .otherwise("fetched_404").alias("outcome"))
+        .unionByName(
+            extracted.filter((F.col("status") == 503) & gave_up_cond)
+            .select("url_hash", "url",
+                    F.lit("failed_gave_up").alias("outcome")))
         .unionByName(
             blocked.select("url_hash", "url")
             .withColumn("outcome", F.lit("robots_blocked"))
         )
         .withColumn("round_seen", F.lit(k))
     )
-    seen_next_keys = newly_seen.select("url_hash")
+    removal_keys = newly_seen.select("url_hash").unionByName(
+        extracted.select("url_hash"))
     if seen is not None:
-        seen_next_keys = seen_next_keys.unionByName(seen.select("url_hash"))
+        removal_keys = removal_keys.unionByName(seen.select("url_hash"))
     new_frontier = _dedup_frontier(
         frontier.unionByName(discovered)
-        .join(seen_next_keys, "url_hash", "left_anti")
+        .join(removal_keys, "url_hash", "left_anti")
+        .unionByName(retries)
     )
 
     # 8. metrics (reference analogue: running counters A1,
@@ -273,13 +377,16 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
     t0 = _prof("outcome counts (materializes wave+extract)", t0)
     n_ok = outcome_counts.get("fetched", 0)
     n_404 = outcome_counts.get("fetched_404", 0)
+    n_gave_up = outcome_counts.get("failed_gave_up", 0)
     n_blocked = outcome_counts.get("robots_blocked", 0)
+    n_retried = retries.count()
     n_discovered = discovered.select("url_hash").distinct().count()
     t0 = _prof("discovered distinct count", t0)
     metrics_row = {
-        "round": k, "wave": n_ok + n_404, "fetched_200": n_ok,
-        "fetched_404": n_404, "robots_blocked": n_blocked,
-        "discovered": n_discovered,
+        "round": k, "wave": n_ok + n_404 + n_gave_up + n_retried,
+        "fetched_200": n_ok, "fetched_404": n_404,
+        "retried_503": n_retried, "failed_gave_up": n_gave_up,
+        "robots_blocked": n_blocked, "discovered": n_discovered,
     }
     import pyarrow as pa
     metrics = pa.table({k: [v] for k, v in metrics_row.items()})
@@ -291,17 +398,18 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
 
     lake.commit(
         k,
-        append={"seen": newly_seen, "results": results, "metrics": metrics},
+        append={"seen": newly_seen, "results": results, "errors": errors,
+                "metrics": metrics},
         replace={"frontier": new_frontier},
     )
-    t0 = _prof("commit (4 table writes)", t0)
+    t0 = _prof("commit (5 table writes)", t0)
     if bloom is not None:
         # executor-built bitmap delta over this round's newly-seen keys,
         # OR-merged into the driver filter (no row collect)
         from ..operators.seen import build_partitioned_bloom
         delta = build_partitioned_bloom(
             newly_seen, bloom.n_parts, bloom.bits, bloom.k)
-        bloom.merge_raw(delta, n_ok + n_404 + n_blocked)
+        bloom.merge_raw(delta, n_ok + n_404 + n_gave_up + n_blocked)
         t0 = _prof("bloom delta build+merge", t0)
     flagged.unpersist()
     extracted.unpersist()
@@ -327,9 +435,21 @@ def run_crawl(spark: SparkSession, lake: Lakehouse, pages: DataFrame,
     # Measured 3.4x on the 3-round bench vs an unpartitioned cache.
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     idx = pages_index(pages).repartition(n_part, "url_hash").persist()
+    # session-state dims, parsed distributed; robots_refresh (S14/S15
+    # analogue) may swap in fresh rules between rounds
+    rules_df = robots_rules_df(spark, cfg.robots or None)
+    budgets_df = _budgets_df(spark, cfg, rules_df)
+    flaky_df = _flaky_df(spark, cfg)
     out = []
     while lake.latest_round() < n_rounds:
-        row = run_round(spark, lake, idx, cfg, bloom)
+        if cfg.robots_refresh is not None:
+            refreshed = cfg.robots_refresh(spark, lake.latest_round() + 1)
+            if refreshed is not None:
+                rules_df = robots_rules_df(spark, refreshed)
+                budgets_df = _budgets_df(spark, cfg, rules_df)
+        row = run_round(spark, lake, idx, cfg, bloom,
+                        rules_df=rules_df, budgets_df=budgets_df,
+                        flaky_df=flaky_df)
         if row is None:
             break
         out.append(row)

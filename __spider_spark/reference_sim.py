@@ -32,14 +32,18 @@ class SimResult:
     waves: list[list[int]]          # per round: url_hash in fetch order
     seen: set[int]                  # final url_hash membership
     texts: dict[str, str]           # canonical url -> extracted text
-    statuses: dict[str, int]        # canonical url -> 200/404
+    statuses: dict[str, int]        # canonical url -> last status
     metrics: list[dict]
+    errors: list[dict]              # quarantined rows (url, round, status,
+                                    # attempts, error)
 
 
 def _frontier_entry_key(e: dict) -> tuple:
-    """Duplicate-resolution order: priority DESC, round ASC,
+    """Duplicate-resolution order: attempts DESC (retry counter is never
+    reset by rediscovery), priority DESC, round ASC,
     parent_url ASC NULLS FIRST, seed_index ASC NULLS FIRST."""
     return (
+        -e.get("attempts", 0),
         -e["priority"],
         e["round"],
         e["parent_url"] is not None,
@@ -47,6 +51,13 @@ def _frontier_entry_key(e: dict) -> tuple:
         e["seed_index"] is None,
         e["seed_index"] or 0,
     )
+
+
+def _robots_pathq(url: str) -> str:
+    """Match target per Google REP: path plus '?query' when present."""
+    parts = urlsplit(url)
+    path = parts.path or "/"
+    return f"{path}?{parts.query}" if parts.query else path
 
 
 def simulate_crawl(
@@ -58,11 +69,15 @@ def simulate_crawl(
     robots: dict[str, str] | None = None,
     priority_decay: float = 0.5,
     round_seconds: float = 60.0,
+    max_attempts: int = 3,
+    retry_decay: float = 0.5,
+    flaky: dict[str, int] | None = None,  # canonical url -> 503s before 200
 ) -> SimResult:
     merged = robots_budgets(robots or {}, round_seconds)
     merged.update(budgets or {})
     budgets = merged
     robots_rules = {h: parse_robots(b) for h, b in (robots or {}).items()}
+    flaky = {canonicalize_one(u): n for u, n in (flaky or {}).items()}
 
     # seed frontier: canonicalize, dedup by hash (min seed_index wins)
     frontier: dict[int, dict] = {}
@@ -73,7 +88,7 @@ def simulate_crawl(
         e = {
             "url": u, "url_hash": spark_xxhash64_str(u),
             "host": host_of_one(u), "priority": 1.0, "round": 1,
-            "parent_url": None, "seed_index": i,
+            "parent_url": None, "seed_index": i, "attempts": 0,
         }
         cur = frontier.get(e["url_hash"])
         if cur is None or _frontier_entry_key(e) < _frontier_entry_key(cur):
@@ -81,6 +96,7 @@ def simulate_crawl(
 
     seen: set[int] = set()
     waves, texts, statuses, metrics = [], {}, {}, []
+    errors: list[dict] = []
 
     for k in range(1, n_rounds + 1):
         if not frontier:
@@ -89,8 +105,8 @@ def simulate_crawl(
 
         allowed, blocked = [], []
         for e in candidates:
-            path = urlsplit(e["url"]).path or "/"
-            ok = allowed_one(robots_rules.get(e["host"]), path)
+            ok = allowed_one(robots_rules.get(e["host"]),
+                             _robots_pathq(e["url"]))
             (allowed if ok else blocked).append(e)
 
         # per-host budget, order (priority DESC, url_hash ASC)
@@ -104,15 +120,42 @@ def simulate_crawl(
         wave.sort(key=lambda e: (-e["priority"], e["url_hash"]))
         waves.append([e["url_hash"] for e in wave])
 
-        n_ok = 0
+        n_ok = n_404 = n_gave_up = 0
+        retries: list[dict] = []
         discovered: dict[int, dict] = {}
+        terminal: set[int] = set()
         for e in wave:
             html = pages.get(e["url"])
             if html is None:
                 statuses[e["url"]] = 404
+                n_404 += 1
+                terminal.add(e["url_hash"])
+                errors.append({
+                    "url": e["url"], "round": k, "status": 404,
+                    "attempts": e["attempts"] + 1, "error": "http_404",
+                })
+                continue
+            if e["attempts"] < flaky.get(e["url"], 0):
+                statuses[e["url"]] = 503
+                if e["attempts"] + 1 >= max_attempts:
+                    n_gave_up += 1
+                    terminal.add(e["url_hash"])
+                    errors.append({
+                        "url": e["url"], "round": k, "status": 503,
+                        "attempts": e["attempts"] + 1,
+                        "error": "gave_up_transient",
+                    })
+                else:
+                    retries.append({
+                        **e,
+                        "priority": e["priority"] * retry_decay,
+                        "round": k + 1,
+                        "attempts": e["attempts"] + 1,
+                    })
                 continue
             statuses[e["url"]] = 200
             n_ok += 1
+            terminal.add(e["url_hash"])
             texts[e["url"]] = extract_text_one(html)
             for raw_link in extract_links_one(html):
                 u = resolve_one(e["url"], raw_link)
@@ -124,29 +167,32 @@ def simulate_crawl(
                     "priority": e["priority"] * priority_decay,
                     "round": k + 1,
                     "parent_url": e["url"], "seed_index": e["seed_index"],
+                    "attempts": 0,
                 }
                 cur = discovered.get(d["url_hash"])
                 if cur is None or _frontier_entry_key(d) < _frontier_entry_key(cur):
                     discovered[d["url_hash"]] = d
 
-        newly_seen = {e["url_hash"] for e in wave} | {
-            e["url_hash"] for e in blocked
-        }
+        newly_seen = terminal | {e["url_hash"] for e in blocked}
         seen |= newly_seen
+        waved_keys = {e["url_hash"] for e in wave}
 
         merged: dict[int, dict] = {}
         for e in list(frontier.values()) + list(discovered.values()):
-            if e["url_hash"] in seen:
+            if e["url_hash"] in seen or e["url_hash"] in waved_keys:
                 continue
             cur = merged.get(e["url_hash"])
             if cur is None or _frontier_entry_key(e) < _frontier_entry_key(cur):
                 merged[e["url_hash"]] = e
+        for e in retries:
+            merged[e["url_hash"]] = e
         frontier = merged
 
         metrics.append({
             "round": k, "wave": len(wave), "fetched_200": n_ok,
-            "fetched_404": len(wave) - n_ok, "robots_blocked": len(blocked),
+            "fetched_404": n_404, "retried_503": len(retries),
+            "failed_gave_up": n_gave_up, "robots_blocked": len(blocked),
             "discovered": len(discovered),
         })
 
-    return SimResult(waves, seen, texts, statuses, metrics)
+    return SimResult(waves, seen, texts, statuses, metrics, errors)

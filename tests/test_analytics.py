@@ -139,6 +139,46 @@ def test_ivf_topk(spark, sf_dir):
     assert a1 == a2 and len(a1) == 10
 
 
+def test_ivf_kmeans_recall(spark, sf_dir):
+    """Seeded k-means quantizer earns the 'IVF' name on HONEST terms.
+
+    The synthetic embeddings are isotropic (within-label mean cosine
+    0.0016 vs 0.0003 across — no cluster structure), so NO quantizer can
+    reach high recall at a small scan fraction; the achievable bar is
+    locality above the p/k random-assignment baseline. Queries are held
+    out of every centroid set (evaluating on the centroids themselves
+    inflates recall — the trap the first version of this test fell into).
+    Pins: deterministic training; recall@2-of-10 ≥ 2× the 0.2 baseline;
+    k-means beats the trivial first-k point quantizer; recall ≥ 0.75 by
+    n_probe=6 (scan fraction 0.6)."""
+    from __spider_spark.operators.similarity import (
+        ivf_centroids, ivf_centroids_kmeans, ivf_topk)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c1 = ivf_centroids_kmeans(emb, n_clusters=10, n_iter=5)
+    c2 = ivf_centroids_kmeans(emb, n_clusters=10, n_iter=5)
+    assert c1 == c2  # byte-deterministic training
+    triv = ivf_centroids(emb, n_clusters=10)
+    qids = list(range(100, 110))  # held out of both centroid sets
+
+    def mean_recall(cents, n_probe):
+        recalls = []
+        for qid in qids:
+            q = [float(x) for x in
+                 emb.filter(F.col("vec_id") == qid).first()["embedding"]]
+            exact = {r.vec_id for r in
+                     cosine_topk(emb, q, 10, exclude_id=qid).collect()}
+            approx = {r.vec_id for r in
+                      ivf_topk(emb, q, 10, n_clusters=10, n_probe=n_probe,
+                               exclude_id=qid, centroids=cents).collect()}
+            recalls.append(len(exact & approx) / 10.0)
+        return sum(recalls) / len(recalls)
+
+    km2 = mean_recall(c1, 2)
+    assert km2 >= 0.4          # >= 2x the 2/10 random baseline
+    assert km2 > mean_recall(triv, 2)  # Lloyd beats raw point anchors
+    assert mean_recall(c1, 6) >= 0.75
+
+
 def test_lakehouse_compaction(spark):
     import tempfile
 
@@ -158,18 +198,57 @@ def test_lakehouse_compaction(spark):
 
 
 def test_multimodal_plumbing(spark):
-    media = synth_media(spark, 50)
-    assert media.count() == 50
-    # without the env gate, decode reports codec_missing (NotImplemented path)
+    media = synth_media(spark, 51)
+    assert media.count() == 51
+    # BMP + WAV decode for REAL (stdlib parsers); only the video rows hit
+    # the codec-missing stub when the fake gate is off
     os.environ.pop("SPIDER_SPARK_FAKE_DECODE", None)
-    out = decode_features(media)
-    assert out.filter(F.col("note") == "codec_missing").count() == 50
-    # with the deterministic fake, features appear and are stable
+    out = decode_features(media).cache()
+    assert out.filter(F.col("note") == "codec_missing").count() == 17
+    assert out.filter((F.col("kind") == "video")
+                      & (F.col("note") != "codec_missing")).count() == 0
+    # real width/height round-trip: decoded dims == the generator's meta
+    imgs = media.filter(F.col("kind") == "image").select(
+        "media_id", F.col("meta.width").alias("w_true"),
+        F.col("meta.height").alias("h_true"))
+    joined = out.filter(F.col("kind") == "image").join(imgs, "media_id")
+    assert joined.count() == 17
+    assert joined.filter((F.col("width") != F.col("w_true"))
+                         | (F.col("height") != F.col("h_true"))).count() == 0
+    # real sample_rate/n_frames round-trip for WAVs
+    auds = media.filter(F.col("kind") == "audio").select(
+        "media_id", F.col("meta.sample_rate").alias("sr_true"),
+        F.col("meta.n_frames").alias("nf_true"))
+    ja = out.filter(F.col("kind") == "audio").join(auds, "media_id")
+    assert ja.filter((F.col("sample_rate") != F.col("sr_true"))
+                     | (F.col("n_frames") != F.col("nf_true"))).count() == 0
+    out.unpersist()
+    # with the deterministic fake, the video rows decode too
     os.environ["SPIDER_SPARK_FAKE_DECODE"] = "1"
     try:
         feats = decode_features(media).filter(F.col("note") == "ok")
-        assert feats.count() == 50
+        assert feats.count() == 51
         f0 = feats.filter(F.col("media_id") == 0).first().feature
         assert len(f0) == 8 and all(0.0 <= v <= 1.0 for v in f0)
     finally:
         os.environ.pop("SPIDER_SPARK_FAKE_DECODE", None)
+
+
+def test_bmp_wav_decode_exact():
+    """Pure-function decode: a hand-built 2x2 BMP round-trips exact channel
+    means; a synthetic WAV round-trips rate/frames and a known RMS."""
+    from __spider_spark.operators.multimodal import (
+        decode_bmp, decode_wav, encode_bmp, encode_wav)
+    px = {(0, 0): (255, 0, 0), (1, 0): (0, 255, 0),
+          (0, 1): (0, 0, 255), (1, 1): (255, 255, 255)}
+    payload = encode_bmp(2, 2, lambda x, y: px[(x, y)])
+    w, h, feat = decode_bmp(payload)
+    assert (w, h) == (2, 2)
+    assert abs(feat[0] - 2 / 4) < 1e-9  # mean R = (255+0+0+255)/4/255
+    assert abs(feat[1] - 2 / 4) < 1e-9
+    assert abs(feat[2] - 2 / 4) < 1e-9
+    # constant-amplitude square wave -> every segment RMS == amp/32768
+    wav = encode_wav(8000, [16384, -16384] * 64)
+    rate, nf, afeat = decode_wav(wav)
+    assert (rate, nf) == (8000, 128)
+    assert all(abs(v - 0.5) < 1e-6 for v in afeat)
