@@ -50,6 +50,7 @@ from ..functions.urls import (
     url_hash_col,
     url_host,
 )
+from ..operators.aliases import aliases_df, apply_host_aliases
 from ..operators.order import global_rank
 from ..operators.politeness import clip_wave
 from ..operators.robots import (
@@ -59,6 +60,7 @@ from ..operators.robots import (
 )
 from ..operators.seen import SeenBloom, filter_unseen
 from ..sources.lakehouse import Lakehouse
+from .detail import detail_index, fetch_details
 
 
 def _prof(label: str, t0: float) -> float:
@@ -97,6 +99,11 @@ class CrawlConfig:
     # may return a new robots source (dict or (host, body) DataFrame); None
     # keeps the current rules.
     robots_refresh: object = None
+    # host-alias dimension (reference: two-airport aliasing map,
+    # ctripSpider.py:56-70 applied at :141-146; ylSpider06.py:465-468):
+    # host -> canonical host, applied to every frontier insert BEFORE
+    # hashing so aliased hosts share one identity/budget/seen entry.
+    aliases: dict[str, str] = field(default_factory=dict)
     use_bloom: bool = True
     bloom_parts: int = 8
     bloom_bits_per_part: int = 1 << 18
@@ -135,8 +142,15 @@ def init_crawl(spark: SparkSession, lake: Lakehouse, seeds: DataFrame,
     frontier = (
         seeds.filter(F.col("url").isNotNull() & (F.trim(F.col("url")) != ""))
         .withColumn("url", canonicalize_url(F.col("url")))
-        .withColumn("url_hash", url_hash_col(F.col("url")))
         .withColumn("host", url_host(F.col("url")))
+    )
+    # alias rewrite must precede hashing: the frontier key is the
+    # *post-alias* canonical URL (P2/J3 graft form)
+    frontier = apply_host_aliases(
+        frontier, aliases_df(spark, cfg.aliases))
+    frontier = (
+        frontier
+        .withColumn("url_hash", url_hash_col(F.col("url")))
         .withColumn("priority", F.lit(1.0))
         .withColumn("round", F.lit(1))
         .withColumn("parent_url", F.lit(None).cast("string"))
@@ -200,7 +214,9 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
               cfg: CrawlConfig, bloom: SeenBloom | None = None,
               rules_df: DataFrame | None = None,
               budgets_df: DataFrame | None = None,
-              flaky_df: DataFrame | None = None) -> dict | None:
+              flaky_df: DataFrame | None = None,
+              alias_df: DataFrame | None = None,
+              detail_idx: DataFrame | None = None) -> dict | None:
     """Execute one scheduling round; returns the committed metrics row
     (None when the frontier is exhausted — crawl done)."""
     t0 = time.perf_counter()
@@ -325,8 +341,14 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
         .withColumn("url", resolve_link(F.col("parent_url"),
                                         F.col("raw_link")))
         .filter(F.col("url").isNotNull() & (F.col("url") != ""))
-        .withColumn("url_hash", url_hash_col(F.col("url")))
         .withColumn("host", url_host(F.col("url")))
+    )
+    # discovered links pass the alias dim too — a link to an aliased
+    # mirror must collapse to the canonical host's identity
+    discovered = apply_host_aliases(discovered, alias_df)
+    discovered = (
+        discovered
+        .withColumn("url_hash", url_hash_col(F.col("url")))
         .withColumn("priority",
                     F.col("parent_priority") * F.lit(cfg.priority_decay))
         .withColumn("round", F.lit(k + 1))
@@ -396,10 +418,18 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
         extracted.unpersist()
         return None  # frontier exhausted; nothing to commit
 
+    appends = {"seen": newly_seen, "results": results, "errors": errors,
+               "metrics": metrics}
+    if detail_idx is not None:
+        # S6 keyed second-stage fetch: detail enrichment for this round's
+        # successful listing fetches, committed in the SAME atomic snapshot
+        # (the reference's detail callback writes into the same row batch)
+        appends["details"] = fetch_details(
+            extracted.filter(F.col("status") == 200), detail_idx
+        ).withColumn("round", F.lit(k))
     lake.commit(
         k,
-        append={"seen": newly_seen, "results": results, "errors": errors,
-                "metrics": metrics},
+        append=appends,
         replace={"frontier": new_frontier},
     )
     t0 = _prof("commit (5 table writes)", t0)
@@ -417,7 +447,8 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
 
 
 def run_crawl(spark: SparkSession, lake: Lakehouse, pages: DataFrame,
-              seeds: DataFrame, cfg: CrawlConfig, n_rounds: int) -> list[dict]:
+              seeds: DataFrame, cfg: CrawlConfig, n_rounds: int,
+              detail_pages: DataFrame | None = None) -> list[dict]:
     """Run/resume a crawl for up to n_rounds (idempotent across restarts:
     picks up from the last committed snapshot — SURVEY.md §2.9 resume)."""
     if lake.latest_round() < 0:
@@ -435,6 +466,14 @@ def run_crawl(spark: SparkSession, lake: Lakehouse, pages: DataFrame,
     # Measured 3.4x on the 3-round bench vs an unpartitioned cache.
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     idx = pages_index(pages).repartition(n_part, "url_hash").persist()
+    detail_idx = None
+    if detail_pages is not None:
+        # same bucketing discipline as the listing store: partition the
+        # detail index ON its join key once, so each round's detail fetch
+        # only shuffles the (small) wave side
+        detail_idx = (detail_index(detail_pages)
+                      .repartition(n_part, "detail_hash").persist())
+    alias_df = aliases_df(spark, cfg.aliases)
     # session-state dims, parsed distributed; robots_refresh (S14/S15
     # analogue) may swap in fresh rules between rounds
     rules_df = robots_rules_df(spark, cfg.robots or None)
@@ -449,9 +488,12 @@ def run_crawl(spark: SparkSession, lake: Lakehouse, pages: DataFrame,
                 budgets_df = _budgets_df(spark, cfg, rules_df)
         row = run_round(spark, lake, idx, cfg, bloom,
                         rules_df=rules_df, budgets_df=budgets_df,
-                        flaky_df=flaky_df)
+                        flaky_df=flaky_df, alias_df=alias_df,
+                        detail_idx=detail_idx)
         if row is None:
             break
         out.append(row)
     idx.unpersist()
+    if detail_idx is not None:
+        detail_idx.unpersist()
     return out

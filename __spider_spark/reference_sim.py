@@ -21,9 +21,11 @@ from __future__ import annotations
 from dataclasses import dataclass
 from urllib.parse import urlsplit
 
+from .functions.detail import cheapest_cabin_one, extract_detail_one
 from .functions.hashing import spark_xxhash64_str
 from .functions.text import extract_links_one, extract_text_one
 from .functions.urls import canonicalize_one, host_of_one, resolve_one
+from .operators.aliases import alias_one
 from .operators.robots import allowed_one, parse_robots, robots_budgets
 
 
@@ -36,6 +38,9 @@ class SimResult:
     metrics: list[dict]
     errors: list[dict]              # quarantined rows (url, round, status,
                                     # attempts, error)
+    details: dict[str, dict]        # listing url -> second-stage fetch
+                                    # enrichment (S6): {detail_url, status,
+                                    # cabins, min_cabin, min_price}
 
 
 def _frontier_entry_key(e: dict) -> tuple:
@@ -72,6 +77,8 @@ def simulate_crawl(
     max_attempts: int = 3,
     retry_decay: float = 0.5,
     flaky: dict[str, int] | None = None,  # canonical url -> 503s before 200
+    aliases: dict[str, str] | None = None,  # host -> canonical host
+    detail_pages: dict[str, bytes] | None = None,  # detail url -> html
 ) -> SimResult:
     merged = robots_budgets(robots or {}, round_seconds)
     merged.update(budgets or {})
@@ -84,7 +91,7 @@ def simulate_crawl(
     for i, raw in enumerate(seed_urls, start=1):
         if raw is None or not raw.strip():
             continue
-        u = canonicalize_one(raw)
+        u = alias_one(canonicalize_one(raw), aliases)
         e = {
             "url": u, "url_hash": spark_xxhash64_str(u),
             "host": host_of_one(u), "priority": 1.0, "round": 1,
@@ -97,6 +104,7 @@ def simulate_crawl(
     seen: set[int] = set()
     waves, texts, statuses, metrics = [], {}, {}, []
     errors: list[dict] = []
+    details: dict[str, dict] = {}
 
     for k in range(1, n_rounds + 1):
         if not frontier:
@@ -157,10 +165,23 @@ def simulate_crawl(
             n_ok += 1
             terminal.add(e["url_hash"])
             texts[e["url"]] = extract_text_one(html)
+            if detail_pages is not None:
+                du = e["url"] + "/detail"
+                dh = detail_pages.get(du)
+                cabins = extract_detail_one(dh)
+                best = cheapest_cabin_one(cabins)
+                details[e["url"]] = {
+                    "detail_url": du,
+                    "status": 404 if dh is None else 200,
+                    "cabins": cabins,
+                    "min_cabin": best[0] if best else None,
+                    "min_price": best[1] if best else None,
+                }
             for raw_link in extract_links_one(html):
                 u = resolve_one(e["url"], raw_link)
                 if not u:
                     continue
+                u = alias_one(u, aliases)
                 d = {
                     "url": u, "url_hash": spark_xxhash64_str(u),
                     "host": host_of_one(u),
@@ -195,4 +216,4 @@ def simulate_crawl(
             "discovered": len(discovered),
         })
 
-    return SimResult(waves, seen, texts, statuses, metrics, errors)
+    return SimResult(waves, seen, texts, statuses, metrics, errors, details)

@@ -167,6 +167,68 @@ def generate_pages(
     )
 
 
+def detail_url_of(i: int, n_hosts: int, seed: int = 42) -> str:
+    """Derived detail-page URL for listing page i (already canonical)."""
+    return canonical_url(i, n_hosts, seed) + "/detail"
+
+
+def has_detail(i: int, seed: int = 42) -> bool:
+    """~1 in 8 listing pages has no detail page (404 enrichment path)."""
+    return _h(seed, i, "hasdetail") % 8 != 0
+
+
+def detail_cabins(i: int, seed: int = 42) -> list[tuple[str, float]]:
+    """Deterministic cabin/price table for page i's detail page
+    (reference analogue: the per-flight cabin list the second-stage fetch
+    returns, /root/reference/spiders/ylSpider06.py:508-557)."""
+    n_cab = 2 + _h(seed, i, "ncab") % 4
+    out = []
+    for c in range(n_cab):
+        cabin = "FJYW"[_h(seed, i, f"cab{c}") % 4]
+        price = round(80.0 + (_h(seed, i, f"price{c}") % 900_000) / 100.0, 2)
+        out.append((cabin, price))
+    return out
+
+
+def build_detail_page(i: int, seed: int = 42) -> bytes | None:
+    """Pure row constructor for the detail page of listing page i (None
+    when the page has no detail — the engine must surface a 404 there)."""
+    if not has_detail(i, seed):
+        return None
+    rows = "\n".join(
+        f'<tr class="cabin"><td>{c}</td><td>{p:.2f}</td></tr>'
+        for c, p in detail_cabins(i, seed)
+    )
+    html = (
+        "<html><body>\n"
+        f'<table id="cabins">\n{rows}\n</table>\n'
+        "</body></html>"
+    )
+    return html.encode("utf-8")
+
+
+def generate_detail_pages(
+    spark: SparkSession, n: int, n_hosts: int = 20, seed: int = 42,
+) -> DataFrame:
+    """Distributed detail-pages table (url string, html binary): the
+    second-stage fetch network (S6). Same determinism contract as
+    :func:`generate_pages`."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [
+                {"url": detail_url_of(int(i), n_hosts, seed),
+                 "html": build_detail_page(int(i), seed)}
+                for i in pdf["id"] if has_detail(int(i), seed)
+            ]
+            yield pd.DataFrame(rows, columns=["url", "html"])
+
+    parts = max(spark.sparkContext.defaultParallelism, n // 50_000 + 1)
+    return spark.range(0, n, numPartitions=parts).mapInPandas(
+        gen, schema="url string, html binary"
+    )
+
+
 def seed_urls(n: int, n_seeds: int, n_hosts: int = 20, seed: int = 42) -> list[str]:
     """Seed list: raw (messy) URLs of the first ``n_seeds`` page ids, in
     seed-file order — row identity = position, mirroring the reference's

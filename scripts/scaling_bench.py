@@ -26,6 +26,7 @@ def main() -> None:
     n_seeds = int(sys.argv[3]) if len(sys.argv) > 3 else 100_000
     rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     weight = int(sys.argv[5]) if len(sys.argv) > 5 else 10
+    mode = sys.argv[6] if len(sys.argv) > 6 else "local"
 
     from __spider_spark.session import get_spark
     from __spider_spark.sources.pages import generate_pages
@@ -44,8 +45,12 @@ def main() -> None:
     for cores in (n, 4 * n):
         out = subprocess.run(
             [sys.executable, str(REPO / "scripts/scaling_job.py"),
-             str(cores), pages_path, str(n_pages), str(n_seeds), str(rounds)],
+             str(cores), pages_path, str(n_pages), str(n_seeds), str(rounds),
+             mode],
             capture_output=True, text=True, check=True, cwd=str(REPO),
+            env={**__import__("os").environ,
+                 "SPARK_DRIVER_MEM": "8g" if mode == "cluster" else "32g",
+                 "PYSPARK_PYTHON": sys.executable},
         )
         line = out.stdout.strip().splitlines()[-1]
         results.append(json.loads(line))
@@ -63,8 +68,13 @@ def main() -> None:
     print(json.dumps(summary))
 
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    if mode == "cluster":
+        label_n = f"local-cluster[{max(n // 4, 1)}×4cores]"
+        label_4n = f"local-cluster[{max(n, 1)}×4cores]"
+    else:
+        label_n, label_4n = f"local[{n}]", f"local[{4 * n}]"
     block = f"""
-## Scaling run {stamp}
+## Scaling run {stamp} (mode={mode})
 
 Same crawl job (pages={n_pages}, page weight={weight}, seeds={n_seeds},
 rounds={rounds}, budget=per-host unlimited-equivalent) on identical input
@@ -72,8 +82,8 @@ at two parallelism levels (sandbox substitution for N vs 4N executors):
 
 | parallelism | elapsed (s) | URLs fetched | URLs/sec |
 |---|---|---|---|
-| local[{n}] | {results[0]['elapsed_sec']} | {results[0]['urls_fetched']} | {thr_n} |
-| local[{4*n}] | {results[1]['elapsed_sec']} | {results[1]['urls_fetched']} | {thr_4n} |
+| {label_n} | {results[0]['elapsed_sec']} | {results[0]['urls_fetched']} | {thr_n} |
+| {label_4n} | {results[1]['elapsed_sec']} | {results[1]['urls_fetched']} | {thr_4n} |
 
 Speedup {n}→{4*n} cores: **{speedup}×**;
 scaling efficiency = (thr_4N / thr_N) / 4 = **{eff}** (target ≥ 0.8).

@@ -29,10 +29,22 @@ def main() -> None:
     n_pages = int(sys.argv[3])
     n_seeds = int(sys.argv[4])
     rounds = int(sys.argv[5])
+    mode = sys.argv[6] if len(sys.argv) > 6 else "local"
+    if mode == "cluster":
+        # multi-JVM executors (local-cluster[n,cores,memMB]): each executor
+        # is a separate JVM + its own Python workers — the faithful sandbox
+        # analogue of N executors on a real cluster, and the control for the
+        # single-JVM local[32] kernel-contention artifact (BENCH.md)
+        n_exec = max(cores // 4, 1)
+        master = f"local-cluster[{n_exec},4,4096]"
+        extra = {"spark.executor.memory": "3g"}
+    else:
+        master = f"local[{cores}]"
+        extra = {}
     # partitions == cores: oversubscribing (2x) measured pathological here —
     # concurrent commit jobs x partitions x Python workers thrash the box
-    spark = get_spark(app_name=f"scaling-{cores}", master=f"local[{cores}]",
-                      shuffle_partitions=max(cores, 8))
+    spark = get_spark(app_name=f"scaling-{cores}", master=master,
+                      shuffle_partitions=max(cores, 8), extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     pages = spark.read.parquet(pages_path)
     lake = Lakehouse(tempfile.mkdtemp(prefix=f"scale_lake_{cores}_"))
