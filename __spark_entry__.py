@@ -632,6 +632,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         exclude_id=0)
     q["q43_ann_ivf_fullprobe"] = q43
 
+    # S6 keyed second-stage enrichment pattern (plans/detail.py shape,
+    # reference ylSpider06.py:508-557) on oracle-checkable tables:
+    # listing=orders, detail source=high-quantity lineitems aggregated to
+    # an array per key, argmin via array_sort(struct(price, line)), missing
+    # detail -> 404/null enrichment (same operators fetch_details uses)
+    def q44(spark, sf):
+        orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+        det = (
+            _t(spark, sf, "lineitem")
+            .filter(F.col("l_quantity") > 45)
+            .groupBy("l_orderkey")
+            .agg(F.collect_list(F.struct(
+                F.col("l_extendedprice").alias("price"),
+                F.col("l_linenumber").alias("line"))).alias("cabins"))
+        )
+        joined = orders.join(
+            det, orders.o_orderkey == det.l_orderkey, "left")
+        best = F.get(F.array_sort(F.col("cabins")), 0)
+        return joined.select(
+            "o_orderkey", "o_custkey",
+            F.when(F.col("cabins").isNull(), F.lit(404))
+             .otherwise(F.lit(200)).alias("detail_status"),
+            best["line"].alias("min_line"),
+            best["price"].alias("min_price"),
+        )
+    q["q44_detail_enrich"] = q44
+
     return q
 
 
@@ -1149,5 +1176,25 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["q43_ann_ivf_fullprobe"] = o["q22_ann_cosine_topk"]
+
+    o["q44_detail_enrich"] = """
+        SELECT o.o_orderkey, o.o_custkey,
+               CASE WHEN d.l_orderkey IS NULL THEN 404 ELSE 200 END
+                   AS detail_status,
+               d.min_line, d.min_price
+        FROM orders o
+        LEFT JOIN (
+            SELECT l_orderkey, l_linenumber AS min_line,
+                   l_extendedprice AS min_price
+            FROM (
+                SELECT l_orderkey, l_linenumber, l_extendedprice,
+                       row_number() OVER (
+                           PARTITION BY l_orderkey
+                           ORDER BY l_extendedprice ASC, l_linenumber ASC
+                       ) AS rn
+                FROM lineitem WHERE l_quantity > 45
+            ) WHERE rn = 1
+        ) d ON o.o_orderkey = d.l_orderkey
+    """
 
     return o

@@ -10,6 +10,7 @@ criterion (BASELINE.md): the same job, same input, at local[N] and local[4N].
 from __future__ import annotations
 
 import json
+import os
 import sys
 import tempfile
 import time
@@ -35,16 +36,25 @@ def main() -> None:
         # is a separate JVM + its own Python workers — the faithful sandbox
         # analogue of N executors on a real cluster, and the control for the
         # single-JVM local[32] kernel-contention artifact (BENCH.md)
-        n_exec = max(cores // 4, 1)
-        master = f"local-cluster[{n_exec},4,4096]"
-        extra = {"spark.executor.memory": "3g"}
+        exec_cores = int(os.environ.get("SCALE_EXEC_CORES", "4"))
+        n_exec = max(cores // exec_cores, 1)
+        master = f"local-cluster[{n_exec},{exec_cores},4096]"
+        # ActiveProcessorCount: each executor JVM must size its GC/JIT
+        # thread pools for ITS core allocation, not the whole box — without
+        # it, 8 co-hosted executors each spawn ~23 GC threads and the
+        # kernel thrashes (measured 5.5x on a pure-codegen probe; BENCH.md).
+        # On real clusters YARN/K8s cgroups do this for you.
+        extra = {"spark.executor.memory": "3g",
+                 "spark.executor.extraJavaOptions":
+                     f"-XX:ActiveProcessorCount={exec_cores}"}
     else:
         master = f"local[{cores}]"
         extra = {}
     # partitions == cores: oversubscribing (2x) measured pathological here —
     # concurrent commit jobs x partitions x Python workers thrash the box
+    parts = int(os.environ.get("SCALE_PARTS", max(cores, 8)))
     spark = get_spark(app_name=f"scaling-{cores}", master=master,
-                      shuffle_partitions=max(cores, 8), extra_conf=extra)
+                      shuffle_partitions=parts, extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     pages = spark.read.parquet(pages_path)
     lake = Lakehouse(tempfile.mkdtemp(prefix=f"scale_lake_{cores}_"))
