@@ -205,21 +205,52 @@ def ivf_topk(
                  .limit(k)
 
 
+def lsh_bucketize(
+    emb_df: DataFrame, dim: int, n_planes: int = 8, seed: int = 42,
+    emb_col: str = "embedding", bucket_col: str = "lsh_bucket",
+) -> DataFrame:
+    """One-time ANN index build: stamp the sign-sketch bucket id.
+
+    The 100 TB discipline: compute bucket ids ONCE at ingest, write the
+    table back ``partitionBy(bucket_col)`` (or bucketed on it), and let
+    every query prune to its probe buckets at the SCAN (PartitionFilters)
+    — never recompute ``n_planes`` dot products over 10^10 rows per query.
+    ``lsh_bucket_topk`` detects a pre-stamped column and skips the
+    recompute (pinned by tests/test_analytics.py::test_lsh_persisted_
+    bucket_prunes_scan)."""
+    return emb_df.withColumn(
+        bucket_col, lsh_bucket_id(F.col(emb_col), dim, n_planes, seed))
+
+
+def query_bucket(query: list[float], n_planes: int = 8,
+                 seed: int = 42) -> int:
+    """Driver-side bucket id of a query vector (same sketch)."""
+    qb = 0
+    for p in range(n_planes):
+        plane = _hyperplane(len(query), p, seed)
+        dot = sum(float(q) * v for q, v in zip(query, plane))
+        qb |= (1 if dot >= 0 else 0) << p
+    return qb
+
+
 def lsh_bucket_topk(
     emb_df: DataFrame, query: list[float], k: int = 10,
     n_planes: int = 8, id_col: str = "vec_id", emb_col: str = "embedding",
     exclude_id: int | None = None, multiprobe: int = 0,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Approximate top-k: scan only vectors in the query's LSH bucket
-    (plus ``multiprobe`` Hamming-1 neighbor buckets)."""
+    (plus ``multiprobe`` Hamming-1 neighbor buckets). Pass ``bucket_col``
+    naming a column pre-stamped by :func:`lsh_bucketize` to skip the
+    per-query sketch recompute (and, on a bucket-partitioned store, push
+    the probe filter down to partition pruning)."""
     dim = len(query)
-    df = emb_df.withColumn(
-        "__bucket", lsh_bucket_id(F.col(emb_col), dim, n_planes))
-    qb = 0
-    for p in range(n_planes):
-        plane = _hyperplane(dim, p)
-        dot = sum(float(q) * v for q, v in zip(query, plane))
-        qb |= (1 if dot >= 0 else 0) << p
+    if bucket_col is not None and bucket_col in emb_df.columns:
+        df = emb_df.withColumn("__bucket", F.col(bucket_col))
+    else:
+        df = emb_df.withColumn(
+            "__bucket", lsh_bucket_id(F.col(emb_col), dim, n_planes))
+    qb = query_bucket(query, n_planes)
     probes = [qb] + [qb ^ (1 << p) for p in range(min(multiprobe, n_planes))]
     cand = df.filter(F.col("__bucket").isin(probes)).drop("__bucket")
     if exclude_id is not None:

@@ -391,19 +391,29 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
     #    counts and P small Bloom bitmaps ever reach the driver, so waves of
     #    any size scale (never collect() wave rows).
     t0 = _prof("plan building", t0)
+    # ONE metrics job: outcome counts + retried + distinct-discovered as a
+    # union of aggregates over the cached extract (3 separate actions
+    # previously -> 2 extra job-scheduling round-trips per round)
     outcome_counts = {
         r["outcome"]: r["n"]
-        for r in newly_seen.groupBy("outcome").agg(
-            F.count("*").alias("n")).collect()
+        for r in (
+            newly_seen.groupBy("outcome").agg(F.count("*").alias("n"))
+            .unionByName(
+                retries.agg(F.count("*").alias("n"))
+                .select(F.lit("retried_503").alias("outcome"), "n"))
+            .unionByName(
+                discovered.agg(
+                    F.count_distinct("url_hash").alias("n"))
+                .select(F.lit("discovered").alias("outcome"), "n"))
+        ).collect()
     }
-    t0 = _prof("outcome counts (materializes wave+extract)", t0)
+    t0 = _prof("metrics counts (materializes wave+extract)", t0)
     n_ok = outcome_counts.get("fetched", 0)
     n_404 = outcome_counts.get("fetched_404", 0)
     n_gave_up = outcome_counts.get("failed_gave_up", 0)
     n_blocked = outcome_counts.get("robots_blocked", 0)
-    n_retried = retries.count()
-    n_discovered = discovered.select("url_hash").distinct().count()
-    t0 = _prof("discovered distinct count", t0)
+    n_retried = outcome_counts.get("retried_503", 0)
+    n_discovered = outcome_counts.get("discovered", 0)
     metrics_row = {
         "round": k, "wave": n_ok + n_404 + n_gave_up + n_retried,
         "fetched_200": n_ok, "fetched_404": n_404,

@@ -117,6 +117,33 @@ def test_cosine_topk_and_lsh_subset(spark, sf_dir):
     assert a1 == a2 and len(a1) > 0
 
 
+def test_lsh_persisted_bucket_prunes_scan(spark, sf_dir, tmp_path):
+    """The scale path: bucket ids stamped ONCE (lsh_bucketize), store
+    partitioned by bucket; queries must (a) return identical results to
+    the recompute path and (b) hit the store with partition pruning —
+    the parquet scan reads only the probe buckets, not the table."""
+    from __spider_spark.operators.similarity import (
+        lsh_bucketize, query_bucket)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    query = [float(x) for x in q]
+    store = str(tmp_path / "emb_lsh")
+    lsh_bucketize(emb, dim=len(query), n_planes=6).write \
+        .partitionBy("lsh_bucket").parquet(store)
+    indexed = spark.read.parquet(store)
+    got = lsh_bucket_topk(indexed, query, k=10, n_planes=6, exclude_id=0,
+                          multiprobe=2, bucket_col="lsh_bucket")
+    want = lsh_bucket_topk(emb, query, k=10, n_planes=6, exclude_id=0,
+                           multiprobe=2)
+    assert [tuple(r) for r in got.collect()] == \
+        [tuple(r) for r in want.collect()]
+    # plan must show the probe-bucket filter reaching the partitioned scan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    qb = query_bucket(query, 6)
+    assert str(qb) in plan.split("PartitionFilters")[1][:400]
+
+
 def test_ivf_topk(spark, sf_dir):
     from __spider_spark.operators.similarity import ivf_topk
 
