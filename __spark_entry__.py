@@ -659,6 +659,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q44_detail_enrich"] = q44
 
+    # end-to-end corpus curation chain (the training-data pipeline story in
+    # one DAG): quality score -> filter band -> exact-dedup keep-min-id ->
+    # per-language rollup. Composes q20's scorer, q14's dedup, and a
+    # grouped rollup with nothing collected driver-side; every stage is a
+    # single narrow/one-shuffle step, so the chain holds at 10^10 docs.
+    def q45(spark, sf):
+        from pyspark.sql import Window
+        scored = _t(spark, sf, "documents").select(
+            "doc_id", "lang", "text",
+            token_count(F.col("text")).alias("n_tokens"),
+            F.round(stopword_ratio(F.col("text")), 4).alias("stop_ratio"),
+        )
+        kept = scored.filter(
+            (F.col("n_tokens") >= 5) & (F.col("stop_ratio") <= 0.6))
+        w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+        dedup = (kept.withColumn("__rn", F.row_number().over(w))
+                 .filter(F.col("__rn") == 1))
+        return dedup.groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    q["q45_corpus_curation"] = q45
+
     return q
 
 
@@ -1195,6 +1219,33 @@ def oracle_sql() -> dict[str, str]:
                 FROM lineitem WHERE l_quantity > 45
             ) WHERE rn = 1
         ) d ON o.o_orderkey = d.l_orderkey
+    """
+
+    o["q45_corpus_curation"] = f"""
+        WITH scored AS (
+            SELECT doc_id, lang, text,
+                   len({toks_doc}) AS n_tokens,
+                   round(CASE WHEN len({toks_doc}) = 0 THEN 0.0
+                         ELSE len(list_filter({toks_doc},
+                                  x -> list_contains({stop_list}, x)))
+                              / CAST(len({toks_doc}) AS DOUBLE) END, 4)
+                       AS stop_ratio
+            FROM documents
+        ), kept AS (
+            SELECT * FROM scored
+            WHERE n_tokens >= 5 AND stop_ratio <= 0.6
+        ), dedup AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                FROM kept
+            ) WHERE rn = 1
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(max(n_tokens) AS BIGINT) AS max_tokens
+        FROM dedup GROUP BY lang
     """
 
     return o
