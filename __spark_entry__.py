@@ -683,6 +683,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q45_corpus_curation"] = q45
 
+    # NMS over a detections relation (§2.6 O4; reference
+    # utils/utils.py:230-268). Detections are derived deterministically
+    # from the embeddings table (pure Column exprs), then suppressed
+    # per-image via the greedy weighted-merge operator. Iterative within
+    # an image -> not ANSI-SQL-expressible; pinned instead by
+    # tests/test_vision.py against the pure-scalar twin + hand math.
+    def q46(spark, sf):
+        from __spider_spark.operators.vision import nms, prepare_detections
+        e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        parts = []
+        for b in range(2):
+            parts.append(_t(spark, sf, "embeddings").select(
+                (F.col("vec_id") % 50).alias("image_id"),
+                (F.col("vec_id") * 2 + b).alias("det_id"),
+                (F.abs(F.element_at(e, 4 * b + 1)) * 40 + 5).alias("cx"),
+                (F.abs(F.element_at(e, 4 * b + 2)) * 40 + 5).alias("cy"),
+                (F.abs(F.element_at(e, 4 * b + 3)) * 12 + 2).alias("w"),
+                (F.abs(F.element_at(e, 4 * b + 4)) * 12 + 2).alias("h"),
+                F.round(F.least(F.lit(1.0),
+                        F.abs(F.element_at(e, b + 9)) * 3), 6)
+                    .alias("obj_conf"),
+                F.array(*[F.round(F.abs(F.element_at(e, b + c + 11)), 6)
+                          for c in range(3)]).alias("class_scores"),
+            ))
+        det = parts[0].unionByName(parts[1])
+        out = nms(prepare_detections(det, conf_thres=0.5), nms_thres=0.4)
+        return out.select("image_id", F.round("x1", 4).alias("x1"),
+                          F.round("y1", 4).alias("y1"),
+                          F.round("x2", 4).alias("x2"),
+                          F.round("y2", 4).alias("y2"),
+                          F.round("conf", 4).alias("conf"),
+                          "class_pred", "n_merged")
+    q["q46_nms"] = q46
+
     return q
 
 
