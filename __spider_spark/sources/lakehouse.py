@@ -99,7 +99,11 @@ class Lakehouse:
         jobs += [(name, df, "append") for name, df in (append or {}).items()]
         # sequential by default: concurrent write jobs oversubscribe python
         # workers at high local core counts (measured 91s vs 65s at local[32])
-        n_threads = int(os.environ.get("SPIDER_COMMIT_THREADS", "1"))
+        # 2 concurrent write jobs measured best on the bench (25.3s ->
+        # 20.8s for the 3-round crawl): overlaps the small-table writes
+        # (errors/metrics/details) under the big ones without the python-
+        # worker oversubscription that full parallelism caused at local[32]
+        n_threads = int(os.environ.get("SPIDER_COMMIT_THREADS", "2"))
         with ThreadPoolExecutor(max_workers=max(n_threads, 1)) as ex:
             paths = list(ex.map(lambda j: self._write_data(j[1], j[0]), jobs))
         for (name, _, mode), path in zip(jobs, paths):
