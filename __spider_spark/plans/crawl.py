@@ -85,6 +85,12 @@ class CrawlConfig:
     # scheduling-round wall budget used to turn robots Crawl-delay
     # directives into per-host budgets (reference analogue: DOWNLOAD_DELAY)
     round_seconds: float = 60.0
+    # optional single-task-window fallback for tiny waves; measured SLOWER
+    # than the parallel rank at bench scale (the fallback's count() action
+    # re-materializes the clip chain: 22.0s vs 20.8s on the 3-round
+    # bench), so default off — the parallel path is also the 10^8-row-wave
+    # path. Ranks are byte-identical either way.
+    rank_small_threshold: int | None = None
     # retry pyramid (reference: YlSpiderMiddleware.py:80-109 retries a
     # transient failure 2-3 times before giving up): total tries per URL
     # including the first; a transient (503) failure re-enters the frontier
@@ -248,7 +254,8 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
     # whole wave through one task); identical ranks at any parallelism
     wave = global_rank(
         wave, [F.col("priority").desc(), F.col("url_hash").asc()],
-        rank_col="fetch_order")
+        rank_col="fetch_order",
+        small_threshold=cfg.rank_small_threshold)
 
     # 4+5. simulated fetch: wave ⋈ pages (url_hash); missing page -> 404
     #      (the reference's sentinel response, YlSpiderMiddleware.py:186-195,
