@@ -57,11 +57,20 @@ class Lakehouse:
     def _manifest_path(self, version: int) -> Path:
         return self.root / "_manifests" / f"v{version:06d}.json"
 
-    def snapshot(self) -> dict:
-        v = self._latest_version()
+    def snapshot(self, version: int | None = None) -> dict:
+        """Manifest at ``version`` (Iceberg ``VERSION AS OF``); latest when
+        None. Manifests are immutable, so historical reads are exact."""
+        v = self._latest_version() if version is None else version
         if v == 0:
             return {"round": -1, "tables": {}}
         return json.loads(self._manifest_path(v).read_text())
+
+    def versions(self) -> list[int]:
+        """All committed snapshot versions, ascending."""
+        return sorted(
+            int(p.stem.lstrip("v"))
+            for p in (self.root / "_manifests").glob("v*.json")
+        )
 
     def latest_round(self) -> int:
         return int(self.snapshot()["round"])
@@ -121,9 +130,11 @@ class Lakehouse:
         latest_tmp.write_text(f"v{v:06d}")
         os.replace(latest_tmp, self.root / "_manifests" / "LATEST")
 
-    def read(self, spark: SparkSession, table: str) -> DataFrame | None:
-        """Read a table at the latest snapshot (None if never committed)."""
-        dirs = self.snapshot()["tables"].get(table)
+    def read(self, spark: SparkSession, table: str,
+             version: int | None = None) -> DataFrame | None:
+        """Read a table at a snapshot — latest by default, or time-travel
+        to an earlier ``version`` (None if not in that snapshot)."""
+        dirs = self.snapshot(version)["tables"].get(table)
         if not dirs:
             return None
         return spark.read.parquet(*[str(self.root / d) for d in dirs])

@@ -156,3 +156,34 @@ def test_lakehouse_atomic_commit(spark):
     assert lake.read(spark, "t").count() == 10
     assert lake.latest_round() == 2
     lake.destroy()
+
+
+def test_lakehouse_time_travel(spark, crawled):
+    """Iceberg VERSION-AS-OF parity: every committed snapshot stays
+    readable exactly as it was — across appends, replaces, and
+    compaction (manifests immutable, data dirs never rewritten)."""
+    lake, _ = crawled
+    versions = lake.versions()
+    assert len(versions) >= 3 and versions == sorted(versions)
+    # seen grows monotonically across snapshots
+    sizes = []
+    for v in versions:
+        df = lake.read(spark, "seen", version=v)
+        sizes.append(0 if df is None else df.count())
+    assert sizes == sorted(sizes) and sizes[-1] > sizes[0]
+    # a historical frontier is the pre-round state, not the latest
+    hist = {r["url_hash"]
+            for r in lake.read(spark, "frontier", version=versions[1])
+            .select("url_hash").collect()}
+    seen_after = {r["url_hash"]
+                  for r in lake.read(spark, "seen").select("url_hash")
+                  .collect()}
+    assert hist & seen_after, \
+        "later-crawled URLs must still be pending in the old snapshot"
+    # compaction publishes a NEW snapshot; the old one still reads intact
+    before = lake.read(spark, "seen").count()
+    v_before = lake.versions()[-1]
+    lake.compact(spark, "seen", n_files=2)
+    assert lake.read(spark, "seen").count() == before
+    assert lake.read(spark, "seen", version=v_before).count() == before
+    assert lake.versions()[-1] > v_before
