@@ -90,3 +90,36 @@ def test_politeness_clip_stays_jvm_side(spark):
     plan = _plan(clip_wave(df, None, 4, 8))
     assert "EvalPython" not in plan
     assert "Window" in plan
+
+def test_alias_rewrite_broadcasts(spark):
+    """The host-alias dim must reach the frontier as a broadcast hash
+    join — a shuffle join on host over a 10^10-row frontier would be a
+    full extra shuffle per round."""
+    from __spider_spark.operators.aliases import aliases_df, apply_host_aliases
+    frontier = spark.createDataFrame(
+        [("http://www.a.test/p1", "www.a.test"), ("http://b.test/p2", "b.test")],
+        "url string, host string")
+    out = apply_host_aliases(
+        frontier, aliases_df(spark, {"www.a.test": "a.test"}))
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_detail_fetch_payload_pruned_and_single_python_stage(spark,
+                                                            pages_parquet):
+    """The detail stage (S6): detail html is read only behind the keyed
+    join, and exactly one Arrow/Python eval feeds the enrichment (the
+    argmin is Column exprs, not a second UDF)."""
+    from __spider_spark.plans.detail import detail_index, fetch_details
+    from __spider_spark.sources.pages import generate_detail_pages
+    idx = detail_index(generate_detail_pages(spark, 500, 8))
+    listing = spark.createDataFrame(
+        [(1, "http://host1.test/p1")], "url_hash long, url string")
+    plan = _plan(fetch_details(listing, idx))
+    import re
+    eval_nodes = set(re.findall(r"(?:Arrow|Batch)EvalPython \((\d+)\)", plan))
+    # exactly 2 python evals: canonicalize+hash on the idx build, one
+    # fused detail extract — the argmin enrichment stays JVM-side
+    assert len(eval_nodes) == 2
+    assert "BatchEvalPython" not in plan  # Arrow-batched only, never per-row
