@@ -9,14 +9,16 @@ surveyed in SURVEY.md) as an idiomatic Spark engine:
 - ``operators/``  — relational operators: URL-seen anti-join + partitioned
   Bloom filter, politeness budget clipping (salted window rank), dedup
   family (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
-  search (brute-force + LSH-bucketed ANN), robots filtering, multimodal
-  column plumbing.
+  search (brute-force + persisted-bucket LSH + k-means IVF ANN), robots
+  rules dim, host aliasing, retry/quarantine audit, link-graph PageRank,
+  NMS, multimodal column plumbing (stdlib BMP/WAV decode).
 - ``sources/``    — page-store generator (Common-Crawl-shaped, deterministic),
   testdata loaders, and a snapshot/atomic-commit lakehouse layer
   (Iceberg-semantics over parquet; swap to a real Iceberg catalog on a
   cluster — no Iceberg runtime jar ships in this sandbox).
 - ``plans/``      — the round-based crawl driver (frontier → seen-anti-join →
-  politeness → fetch → extract → discover → atomic commit) with
+  politeness → fetch → extract → discover → atomic commit) with retry
+  pyramid, error quarantine, keyed second-stage detail fetch,
   per-partition lineage + metrics and restart equivalence.
 - ``streaming/``  — micro-batch round loop utilities.
 
