@@ -85,6 +85,11 @@ class CrawlConfig:
     # scheduling-round wall budget used to turn robots Crawl-delay
     # directives into per-host budgets (reference analogue: DOWNLOAD_DELAY)
     round_seconds: float = 60.0
+    # lakehouse maintenance: every N rounds rewrite the append-heavy
+    # tables' fragments into one dir (Iceberg rewrite_data_files
+    # analogue) — a year-long crawl otherwise unions thousands of
+    # per-round dirs on every seen read. None disables.
+    compact_every: int | None = None
     # optional single-task-window fallback for tiny waves; measured SLOWER
     # than the parallel rank at bench scale (the fallback's count() action
     # re-materializes the clip chain: 22.0s vs 20.8s on the 3-round
@@ -510,6 +515,12 @@ def run_crawl(spark: SparkSession, lake: Lakehouse, pages: DataFrame,
         if row is None:
             break
         out.append(row)
+        k = lake.latest_round()
+        if cfg.compact_every and k > 0 and k % cfg.compact_every == 0:
+            # atomic: readers keep the old snapshot until the manifest
+            # rename; time-travel to pre-compaction versions still works
+            lake.compact(spark, "seen")
+            lake.compact(spark, "results")
     idx.unpersist()
     if detail_idx is not None:
         detail_idx.unpersist()

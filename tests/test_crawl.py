@@ -187,3 +187,30 @@ def test_lakehouse_time_travel(spark, crawled):
     assert lake.read(spark, "seen").count() == before
     assert lake.read(spark, "seen", version=v_before).count() == before
     assert lake.versions()[-1] > v_before
+
+
+def test_auto_compaction_preserves_crawl(spark):
+    """compact_every rewrites seen/results fragments mid-crawl without
+    changing any row the crawl produces (and fragment count drops)."""
+    import tempfile as _tf
+    pages = generate_pages(spark, N, HOSTS)
+    seeds = make_seeds(spark, N, SEEDS, HOSTS)
+
+    def run(compact_every):
+        lake = Lakehouse(_tf.mkdtemp(prefix="lake_cmp_"))
+        run_crawl(spark, lake, pages, seeds,
+                  CrawlConfig(default_budget=4, use_bloom=False,
+                              compact_every=compact_every), ROUNDS)
+        res = sorted(
+            (r["url_hash"], r["round"], r["fetch_order"], r["status"])
+            for r in lake.read(spark, "results").collect())
+        seen = sorted(r["url_hash"]
+                      for r in lake.read(spark, "seen").collect())
+        dirs = len(lake.snapshot()["tables"]["seen"])
+        lake.destroy()
+        return res, seen, dirs
+
+    res_a, seen_a, dirs_a = run(None)
+    res_b, seen_b, dirs_b = run(2)
+    assert res_a == res_b and seen_a == seen_b
+    assert dirs_b < dirs_a  # fragments actually merged
