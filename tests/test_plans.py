@@ -123,3 +123,39 @@ def test_detail_fetch_payload_pruned_and_single_python_stage(spark,
     # fused detail extract — the argmin enrichment stays JVM-side
     assert len(eval_nodes) == 2
     assert "BatchEvalPython" not in plan  # Arrow-batched only, never per-row
+
+
+def test_aqe_skew_join_backstop_engages(spark):
+    """The session's AQE skew-join backstop (SCALE.md round-DAG note #2)
+    must actually split a hot-host partition: 90% of rows on one host,
+    thresholds scaled to test size, final adaptive plan shows skew=true."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 20000).select(
+            F.when(F.col("id") % 10 < 9, F.lit("host0.test"))
+             .otherwise(F.concat(F.lit("host"),
+                                 (F.col("id") % 7 + 1).cast("string"),
+                                 F.lit(".test"))).alias("host"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"))
+        right = spark.createDataFrame(
+            [(f"host{i}.test", i) for i in range(8)],
+            "host string, budget int")
+        j = left.join(right, "host").select("host", "budget", "payload")
+        assert len(j.collect()) == 20000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
