@@ -6,8 +6,12 @@ operator assigns the identical total order in parallel:
 
   1. ``repartitionByRange`` on the order key (range sampling splits the key
      space across P partitions);
-  2. per-partition counts → driver → cumulative offsets (P numbers, not
-     rows);
+  2. per-partition counts → running-sum offsets (a P-row aggregate, not
+     rows), broadcast-joined back — NO driver collect: the offsets are a
+     subquery of the SAME plan, so the whole rank is one job and the
+     range exchange is computed once and reused (ReusedExchange), instead
+     of a separate counts action that re-materialized the upstream chain
+     every scheduling round;
   3. parallel ``row_number`` windows partitioned by partition id, plus the
      partition's offset.
 
@@ -38,24 +42,20 @@ def global_rank(df: DataFrame, order_cols: list[Column],
         df.repartitionByRange(n_part, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
     )
-    counts = {
-        r["__pid"]: r["n"]
-        for r in ranged.groupBy("__pid").agg(F.count("*").alias("n")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    offset_expr = F.element_at(
-        F.create_map(*[
-            F.lit(x) for pid in sorted(offsets)
-            for x in (pid, offsets[pid])
-        ]),
-        F.col("__pid"),
+    # running-sum offsets over the P-row per-partition counts; the window
+    # orders a tiny aggregate (one row per range partition), so its single
+    # task is O(P), never O(rows)
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy("__pid").agg(F.count("*").alias("__n"))
+        .withColumn("__offset",
+                    F.coalesce(F.sum("__n").over(w_off), F.lit(0)))
+        .select("__pid", "__offset")
     )
     w = Window.partitionBy("__pid").orderBy(*order_cols)
     return (
-        ranged.withColumn(rank_col,
-                          (F.row_number().over(w) + offset_expr).cast("int"))
-        .drop("__pid")
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col,
+                    (F.row_number().over(w) + F.col("__offset")).cast("int"))
+        .drop("__pid", "__offset")
     )

@@ -122,6 +122,12 @@ class CrawlConfig:
     # below this many seen keys the anti-join alone is cheaper than an
     # extra Python-UDF prefilter stage
     bloom_min_seen: int = 20_000
+    # newly-seen hashes up to this count ride back inline on the metrics
+    # job (a bounded collect_list per outcome group) and fold into the
+    # driver Bloom with NO extra Spark job; a larger round falls back to
+    # the distributed partitioned-bitmap build. Waves are budget-bounded
+    # (default_budget × hosts), so the inline path is the common case.
+    bloom_inline_max: int = 65_536
 
 
 def _dedup_frontier(df: DataFrame) -> DataFrame:
@@ -405,20 +411,36 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
     t0 = _prof("plan building", t0)
     # ONE metrics job: outcome counts + retried + distinct-discovered as a
     # union of aggregates over the cached extract (3 separate actions
-    # previously -> 2 extra job-scheduling round-trips per round)
-    outcome_counts = {
-        r["outcome"]: r["n"]
-        for r in (
-            newly_seen.groupBy("outcome").agg(F.count("*").alias("n"))
-            .unionByName(
-                retries.agg(F.count("*").alias("n"))
-                .select(F.lit("retried_503").alias("outcome"), "n"))
-            .unionByName(
-                discovered.agg(
-                    F.count_distinct("url_hash").alias("n"))
-                .select(F.lit("discovered").alias("outcome"), "n"))
-        ).collect()
-    }
+    # previously -> 2 extra job-scheduling round-trips per round). The
+    # newly-seen groups also carry a BOUNDED hash list (slice to max+1 so
+    # truncation is detectable) — when complete, those keys fold into the
+    # driver Bloom without the separate distributed delta job.
+    inline_cap = max(int(cfg.bloom_inline_max), 0)
+    empty_hashes = F.lit(None).cast("array<bigint>").alias("hashes")
+    metric_rows = (
+        newly_seen.groupBy("outcome").agg(
+            F.count("*").alias("n"),
+            F.slice(F.collect_list("url_hash"), 1, inline_cap + 1)
+            .alias("hashes"))
+        .unionByName(
+            retries.agg(F.count("*").alias("n"))
+            .select(F.lit("retried_503").alias("outcome"), "n",
+                    empty_hashes))
+        .unionByName(
+            discovered.agg(
+                F.count_distinct("url_hash").alias("n"))
+            .select(F.lit("discovered").alias("outcome"), "n",
+                    empty_hashes))
+    ).collect()
+    outcome_counts = {r["outcome"]: r["n"] for r in metric_rows}
+    inline_hashes: list[int] | None = []
+    for r in metric_rows:
+        if r["hashes"] is None:
+            continue
+        if len(r["hashes"]) != r["n"]:  # truncated: round too big to inline
+            inline_hashes = None
+            break
+        inline_hashes.extend(r["hashes"])
     t0 = _prof("metrics counts (materializes wave+extract)", t0)
     n_ok = outcome_counts.get("fetched", 0)
     n_404 = outcome_counts.get("fetched_404", 0)
@@ -456,13 +478,20 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
     )
     t0 = _prof("commit (5 table writes)", t0)
     if bloom is not None:
-        # executor-built bitmap delta over this round's newly-seen keys,
-        # OR-merged into the driver filter (no row collect)
-        from ..operators.seen import build_partitioned_bloom
-        delta = build_partitioned_bloom(
-            newly_seen, bloom.n_parts, bloom.bits, bloom.k)
-        bloom.merge_raw(delta, n_ok + n_404 + n_gave_up + n_blocked)
-        t0 = _prof("bloom delta build+merge", t0)
+        n_new_seen = n_ok + n_404 + n_gave_up + n_blocked
+        if inline_hashes is not None:
+            # common case: the budget-bounded round's keys came back on
+            # the metrics job — fold them in driver-side, zero extra jobs
+            bloom.update(inline_hashes)
+            t0 = _prof("bloom inline fold", t0)
+        else:
+            # executor-built bitmap delta over this round's newly-seen
+            # keys, OR-merged into the driver filter (no row collect)
+            from ..operators.seen import build_partitioned_bloom
+            delta = build_partitioned_bloom(
+                newly_seen, bloom.n_parts, bloom.bits, bloom.k)
+            bloom.merge_raw(delta, n_new_seen)
+            t0 = _prof("bloom delta build+merge", t0)
     flagged.unpersist()
     extracted.unpersist()
     return metrics_row
