@@ -546,10 +546,13 @@ def run_crawl(spark: SparkSession, lake: Lakehouse, pages: DataFrame,
         out.append(row)
         k = lake.latest_round()
         if cfg.compact_every and k > 0 and k % cfg.compact_every == 0:
-            # atomic: readers keep the old snapshot until the manifest
-            # rename; time-travel to pre-compaction versions still works
-            lake.compact(spark, "seen")
-            lake.compact(spark, "results")
+            # ONE atomic maintenance commit over every append-heavy table:
+            # readers keep the old snapshot until the manifest rename,
+            # time-travel to pre-compaction versions still works, and a
+            # crash mid-sweep can't leave the tables asymmetrically
+            # compacted (single snapshot published per pass)
+            lake.compact_many(
+                spark, ["seen", "results", "errors", "details", "metrics"])
     idx.unpersist()
     if detail_idx is not None:
         detail_idx.unpersist()

@@ -63,7 +63,13 @@ class Lakehouse:
         v = self._latest_version() if version is None else version
         if v == 0:
             return {"round": -1, "tables": {}}
-        return json.loads(self._manifest_path(v).read_text())
+        p = self._manifest_path(v)
+        if not p.exists():
+            avail = self.versions()
+            rng = f"{avail[0]}..{avail[-1]}" if avail else "none committed"
+            raise ValueError(
+                f"snapshot version {v} does not exist (available: {rng})")
+        return json.loads(p.read_text())
 
     def versions(self) -> list[int]:
         """All committed snapshot versions, ascending."""
@@ -139,6 +145,18 @@ class Lakehouse:
             return None
         return spark.read.parquet(*[str(self.root / d) for d in dirs])
 
+    def _compaction_plan(self, spark: SparkSession, table: str,
+                         partition_col: str | None = None,
+                         n_files: int | None = None) -> DataFrame | None:
+        df = self.read(spark, table)
+        if df is None:
+            return None
+        if partition_col:
+            return df.repartition(f"{partition_col}")
+        if n_files:
+            return df.coalesce(n_files)
+        return df.coalesce(max(1, df.rdd.getNumPartitions() // 8))
+
     def compact(self, spark: SparkSession, table: str,
                 partition_col: str | None = None,
                 n_files: int | None = None) -> None:
@@ -147,17 +165,23 @@ class Lakehouse:
         ``seen``/``results``; reads then union hundreds of fragments).
         Atomic: readers keep the old snapshot until the single manifest
         rename. Analogous to Iceberg's rewrite_data_files."""
-        df = self.read(spark, table)
+        df = self._compaction_plan(spark, table, partition_col, n_files)
         if df is None:
             return
-        if partition_col:
-            df = df.repartition(f"{partition_col}")
-        elif n_files:
-            df = df.coalesce(n_files)
-        else:
-            df = df.coalesce(max(1, df.rdd.getNumPartitions() // 8))
         self.commit(self.latest_round(), replace={table: df},
                     props={"compacted": table})
+
+    def compact_many(self, spark: SparkSession, tables: list[str]) -> None:
+        """Compact several tables in ONE atomic commit, so a maintenance
+        pass publishes a single snapshot and a crash mid-compaction can
+        never leave the table set asymmetrically rewritten (the same
+        multi-table atomicity ``commit`` gives the crawl rounds)."""
+        plans = {t: p for t in tables
+                 if (p := self._compaction_plan(spark, t)) is not None}
+        if not plans:
+            return
+        self.commit(self.latest_round(), replace=plans,
+                    props={"compacted": ",".join(sorted(plans))})
 
     def has_table(self, table: str) -> bool:
         return bool(self.snapshot()["tables"].get(table))

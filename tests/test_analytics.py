@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from __spider_spark.functions.textstats import (
@@ -221,6 +222,9 @@ def test_lakehouse_compaction(spark):
     assert len(lake.snapshot()["tables"]["t"]) == 1
     assert sorted(r.x for r in lake.read(spark, "t").collect()) == rows_before
     assert lake.latest_round() == 4  # compaction does not advance the round
+    # a nonexistent / pruned version is a clear error, not FileNotFoundError
+    with pytest.raises(ValueError, match="available"):
+        lake.read(spark, "t", version=999)
     lake.destroy()
 
 

@@ -190,8 +190,9 @@ def test_lakehouse_time_travel(spark, crawled):
 
 
 def test_auto_compaction_preserves_crawl(spark):
-    """compact_every rewrites seen/results fragments mid-crawl without
-    changing any row the crawl produces (and fragment count drops)."""
+    """compact_every rewrites every append-heavy table's fragments
+    mid-crawl in ONE atomic maintenance commit, without changing any row
+    the crawl produces (and fragment counts drop across the board)."""
     import tempfile as _tf
     pages = generate_pages(spark, N, HOSTS)
     seeds = make_seeds(spark, N, SEEDS, HOSTS)
@@ -206,11 +207,19 @@ def test_auto_compaction_preserves_crawl(spark):
             for r in lake.read(spark, "results").collect())
         seen = sorted(r["url_hash"]
                       for r in lake.read(spark, "seen").collect())
-        dirs = len(lake.snapshot()["tables"]["seen"])
+        dirs = {t: len(lake.snapshot()["tables"].get(t, []))
+                for t in ("seen", "results", "errors", "metrics")}
+        snaps = [lake.snapshot(v).get("props", {}).get("compacted")
+                 for v in lake.versions()]
         lake.destroy()
-        return res, seen, dirs
+        return res, seen, dirs, snaps
 
-    res_a, seen_a, dirs_a = run(None)
-    res_b, seen_b, dirs_b = run(2)
+    res_a, seen_a, dirs_a, _ = run(None)
+    res_b, seen_b, dirs_b, snaps_b = run(2)
     assert res_a == res_b and seen_a == seen_b
-    assert dirs_b < dirs_a  # fragments actually merged
+    for t in ("seen", "results", "errors", "metrics"):
+        assert dirs_b[t] < dirs_a[t], f"{t} fragments not merged"
+    # each maintenance pass is ONE commit covering all swept tables
+    sweeps = [s for s in snaps_b if s]
+    assert sweeps and all("seen" in s and "results" in s and "errors" in s
+                          and "metrics" in s for s in sweeps)
