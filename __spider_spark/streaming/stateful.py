@@ -38,18 +38,27 @@ def _admit(
 ) -> Iterator[pd.DataFrame]:
     (host,) = key
     n = state.get[0] if state.exists else 0
-    out = []
+    chunks = []
     for pdf in pdfs:
-        pdf = pdf.sort_values(["priority", "url_hash"],
-                              ascending=[False, True])
-        for _, row in pdf.iterrows():
-            if n >= budget:
-                break
-            n += 1
-            out.append((host, row["url"], int(row["url_hash"]), n))
+        take = budget - n
+        if take <= 0:
+            break
+        # vectorized admission: sort, clip to the remaining budget, and
+        # number the survivors in one shot — no per-row Python
+        adm = (pdf.sort_values(["priority", "url_hash"],
+                               ascending=[False, True])
+               .head(take)[["url", "url_hash"]].copy())
+        adm.insert(0, "host", host)
+        adm["admitted_seq"] = range(n + 1, n + 1 + len(adm))
+        adm["url_hash"] = adm["url_hash"].astype("int64")
+        n += len(adm)
+        chunks.append(adm)
     state.update((n,))
-    yield pd.DataFrame(
-        out, columns=["host", "url", "url_hash", "admitted_seq"])
+    if chunks:
+        yield pd.concat(chunks, ignore_index=True)
+    else:
+        yield pd.DataFrame(
+            columns=["host", "url", "url_hash", "admitted_seq"])
 
 
 def politeness_rate_limit(
