@@ -96,24 +96,80 @@ def ivf_centroids(
     return [[float(x) for x in r[0]] for r in rows]
 
 
+def ivf_init_centroids(
+    emb_df: DataFrame, n_clusters: int = 8, oversample: int = 8,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+) -> list[list[float]]:
+    """k-means||-style distributed init: ONE pass, O(1) driver round-trips
+    independent of k.
+
+    1. Oversample ``n_clusters × oversample`` candidate vectors in a single
+       distributed job — the rows with the smallest ``xxhash64(id)`` (a
+       deterministic pseudo-random sample; Spark's parallel top-m, never a
+       full sort).
+    2. Driver-side maximin over that small candidate set (numpy,
+       O(k·m·dim) on m = k·oversample rows): start from the min-id
+       candidate, then greedily add the candidate least cosine-similar to
+       its nearest chosen centroid (ties -> min id).
+
+    This replaces the previous farthest-point loop that ran k-1 sequential
+    full-scan collects (O(k²·n·dim) and k driver round-trips — fine at
+    k=8, a wall at k ~ 10^4-10^5 for a real 10^10-vector IVF index).
+    Spread quality is preserved because maximin still runs — just over a
+    hash-sample instead of the full table. Zero RNG state: the sample
+    order and all tie-breaks are pure functions of the ids."""
+    import numpy as np
+
+    m = max(n_clusters * oversample, n_clusters)
+    cand = (
+        emb_df.select(F.col(id_col).alias("__id"),
+                      F.col(emb_col).alias("__emb"))
+        .orderBy(F.xxhash64(F.col("__id")).asc(), F.col("__id").asc())
+        .limit(m).collect()
+    )
+    if len(cand) < n_clusters:
+        raise ValueError(
+            f"need >= {n_clusters} vectors, got {len(cand)}")
+    ids = np.array([r["__id"] for r in cand])
+    X = np.array([[float(x) for x in r["__emb"]] for r in cand],
+                 dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+    chosen = [int(np.argsort(ids, kind="stable")[0])]  # min-id candidate
+    taken = np.zeros(len(ids), dtype=bool)
+    taken[chosen[0]] = True
+    # nearest[i] = max cosine(candidate i, any chosen centroid)
+    nearest = Xn @ Xn[chosen[0]]
+    for _ in range(n_clusters - 1):
+        # candidate with the smallest nearest-centroid sim (rounded so fp
+        # summation order can't flip a pick); ties -> min id
+        free = np.flatnonzero(~taken)
+        sims = np.round(nearest[free], 12)
+        pool = free[sims == sims.min()]
+        best = int(pool[np.argmin(ids[pool])])
+        taken[best] = True
+        chosen.append(best)
+        nearest = np.maximum(nearest, Xn @ Xn[best])
+    return [[float(v) for v in X[i]] for i in chosen]
+
+
 def ivf_centroids_kmeans(
     emb_df: DataFrame, n_clusters: int = 8, n_iter: int = 5,
     id_col: str = "vec_id", emb_col: str = "embedding",
+    oversample: int = 8,
 ) -> list[list[float]]:
     """Seeded deterministic k-means quantizer (Lloyd, fixed iterations).
 
-    Init: deterministic farthest-point (maximin) — start from the min-id
-    vector, then k-1 times pick the vector least similar to its nearest
-    chosen centroid (ties -> min id). Real data points, maximally spread,
-    zero RNG state. (Hash-binned MEANS were tried first and collapse: the
-    mean of ~n/k random vectors is ≈ the global mean for every bin, so all
-    centroids coincide and Lloyd cannot separate them — purity stayed at
-    chance.) Each Lloyd iteration is one distributed assign (JVM-side
-    argmax over centroid literals) + one elementwise mean via
-    posexplode/groupBy; only k×dim doubles ever reach the driver.
-    Centroids are rounded to 8 dp per iteration so parallel summation
-    noise cannot flip an assignment across cluster sizes (determinism
-    contract)."""
+    Init: :func:`ivf_init_centroids` — a one-pass distributed hash-sample
+    + driver-side maximin (k-means|| shape), O(1) driver round-trips
+    independent of k. Real data points, maximally spread, zero RNG state.
+    (Hash-binned MEANS were tried first and collapse: the mean of ~n/k
+    random vectors is ≈ the global mean for every bin, so all centroids
+    coincide and Lloyd cannot separate them — purity stayed at chance.)
+    Each Lloyd iteration is one distributed assign (JVM-side argmax over
+    centroid literals) + one elementwise mean via posexplode/groupBy; only
+    k×dim doubles ever reach the driver. Centroids are rounded to 8 dp per
+    iteration so parallel summation noise cannot flip an assignment across
+    cluster sizes (determinism contract)."""
     def _means(df_with_bin) -> list[list[float]]:
         rows = (
             df_with_bin
@@ -130,23 +186,8 @@ def ivf_centroids_kmeans(
         by_bin = {r["__bin"]: [x["m"] for x in r["vals"]] for r in rows}
         return [by_bin[b] for b in sorted(by_bin)]
 
-    first = (
-        emb_df.orderBy(F.col(id_col).asc()).limit(1)
-        .select(emb_col).collect()[0][0]
-    )
-    centroids = [[float(x) for x in first]]
-    while len(centroids) < n_clusters:
-        nearest = F.greatest(*[
-            cosine_sim_col(F.col(emb_col), c) for c in centroids
-        ]) if len(centroids) > 1 else cosine_sim_col(F.col(emb_col),
-                                                     centroids[0])
-        far = (
-            emb_df.select(F.col(id_col), F.col(emb_col),
-                          nearest.alias("__near"))
-            .orderBy(F.col("__near").asc(), F.col(id_col).asc())
-            .limit(1).collect()[0]
-        )
-        centroids.append([float(x) for x in far[emb_col]])
+    centroids = ivf_init_centroids(emb_df, n_clusters, oversample,
+                                   id_col, emb_col)
     for _ in range(n_iter):
         assigned = ivf_assign(emb_df, centroids, emb_col) \
             .withColumnRenamed("ivf_cluster", "__bin")

@@ -207,6 +207,29 @@ def test_ivf_kmeans_recall(spark, sf_dir):
     assert mean_recall(c1, 6) >= 0.75
 
 
+def test_ivf_init_constant_driver_roundtrips(spark, sf_dir):
+    """The k-means|| init is ONE distributed pass: the Spark job count is
+    constant in k (the old farthest-point loop ran k-1 full-scan collects
+    — a wall at k ~ 10^4 on a 10^10-vector index)."""
+    from __spider_spark.operators.similarity import ivf_init_centroids
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sc = spark.sparkContext
+
+    def n_jobs(k):
+        grp = f"ivf-init-{k}"
+        sc.setJobGroup(grp, "count ivf init jobs")
+        try:
+            cents = ivf_init_centroids(emb, n_clusters=k)
+        finally:
+            sc.setJobGroup("", "")
+        assert len(cents) == k and len(set(map(tuple, cents))) == k
+        return len(sc.statusTracker().getJobIdsForGroup(grp))
+
+    j4, j16 = n_jobs(4), n_jobs(16)
+    assert j4 == j16, f"init jobs must not scale with k ({j4} vs {j16})"
+    assert j4 <= 3  # limit-collect may stage incrementally, but O(1)
+
+
 def test_lakehouse_compaction(spark):
     import tempfile
 
