@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -246,9 +247,17 @@ def ivf_topk(
                  .limit(k)
 
 
+def lsh_bucket_col_name(n_planes: int = 8, seed: int = 42) -> str:
+    """Self-describing stamped-column name: the sketch parameters ride in
+    the name (``lsh_bucket_p8_s42``) so they survive ``partitionBy`` round
+    trips (partition columns lose schema metadata) and a stale index can
+    never be silently queried with mismatched parameters."""
+    return f"lsh_bucket_p{n_planes}_s{seed}"
+
+
 def lsh_bucketize(
     emb_df: DataFrame, dim: int, n_planes: int = 8, seed: int = 42,
-    emb_col: str = "embedding", bucket_col: str = "lsh_bucket",
+    emb_col: str = "embedding", bucket_col: str | None = None,
 ) -> DataFrame:
     """One-time ANN index build: stamp the sign-sketch bucket id.
 
@@ -258,7 +267,10 @@ def lsh_bucketize(
     — never recompute ``n_planes`` dot products over 10^10 rows per query.
     ``lsh_bucket_topk`` detects a pre-stamped column and skips the
     recompute (pinned by tests/test_analytics.py::test_lsh_persisted_
-    bucket_prunes_scan)."""
+    bucket_prunes_scan). Default column name encodes (n_planes, seed) —
+    see :func:`lsh_bucket_col_name`."""
+    if bucket_col is None:
+        bucket_col = lsh_bucket_col_name(n_planes, seed)
     return emb_df.withColumn(
         bucket_col, lsh_bucket_id(F.col(emb_col), dim, n_planes, seed))
 
@@ -274,24 +286,43 @@ def query_bucket(query: list[float], n_planes: int = 8,
     return qb
 
 
+_BUCKET_NAME_RE = re.compile(r"_p(\d+)_s(\d+)$")
+
+
 def lsh_bucket_topk(
     emb_df: DataFrame, query: list[float], k: int = 10,
     n_planes: int = 8, id_col: str = "vec_id", emb_col: str = "embedding",
     exclude_id: int | None = None, multiprobe: int = 0,
-    bucket_col: str | None = None,
+    bucket_col: str | None = None, seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: scan only vectors in the query's LSH bucket
     (plus ``multiprobe`` Hamming-1 neighbor buckets). Pass ``bucket_col``
     naming a column pre-stamped by :func:`lsh_bucketize` to skip the
     per-query sketch recompute (and, on a bucket-partitioned store, push
-    the probe filter down to partition pruning)."""
+    the probe filter down to partition pruning).
+
+    A passed ``bucket_col`` is validated, never silently ignored: a
+    missing column raises (no quiet fallback to the full recompute), and
+    a self-describing name (``..._p6_s42``) whose parameters disagree
+    with this query's (n_planes, seed) raises — querying an index built
+    with different hyperplanes returns garbage candidates."""
     dim = len(query)
-    if bucket_col is not None and bucket_col in emb_df.columns:
+    if bucket_col is not None:
+        if bucket_col not in emb_df.columns:
+            raise ValueError(
+                f"bucket_col {bucket_col!r} not found in columns "
+                f"{emb_df.columns}; refusing to silently recompute")
+        m = _BUCKET_NAME_RE.search(bucket_col)
+        if m and (int(m.group(1)), int(m.group(2))) != (n_planes, seed):
+            raise ValueError(
+                f"bucket_col {bucket_col!r} was stamped with "
+                f"n_planes={m.group(1)}, seed={m.group(2)} but the query "
+                f"uses n_planes={n_planes}, seed={seed}")
         df = emb_df.withColumn("__bucket", F.col(bucket_col))
     else:
         df = emb_df.withColumn(
-            "__bucket", lsh_bucket_id(F.col(emb_col), dim, n_planes))
-    qb = query_bucket(query, n_planes)
+            "__bucket", lsh_bucket_id(F.col(emb_col), dim, n_planes, seed))
+    qb = query_bucket(query, n_planes, seed)
     probes = [qb] + [qb ^ (1 << p) for p in range(min(multiprobe, n_planes))]
     cand = df.filter(F.col("__bucket").isin(probes)).drop("__bucket")
     if exclude_id is not None:

@@ -124,16 +124,17 @@ def test_lsh_persisted_bucket_prunes_scan(spark, sf_dir, tmp_path):
     the recompute path and (b) hit the store with partition pruning —
     the parquet scan reads only the probe buckets, not the table."""
     from __spider_spark.operators.similarity import (
-        lsh_bucketize, query_bucket)
+        lsh_bucket_col_name, lsh_bucketize, query_bucket)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     query = [float(x) for x in q]
     store = str(tmp_path / "emb_lsh")
+    bcol = lsh_bucket_col_name(6, 42)  # self-describing: lsh_bucket_p6_s42
     lsh_bucketize(emb, dim=len(query), n_planes=6).write \
-        .partitionBy("lsh_bucket").parquet(store)
+        .partitionBy(bcol).parquet(store)
     indexed = spark.read.parquet(store)
     got = lsh_bucket_topk(indexed, query, k=10, n_planes=6, exclude_id=0,
-                          multiprobe=2, bucket_col="lsh_bucket")
+                          multiprobe=2, bucket_col=bcol)
     want = lsh_bucket_topk(emb, query, k=10, n_planes=6, exclude_id=0,
                            multiprobe=2)
     assert [tuple(r) for r in got.collect()] == \
@@ -143,6 +144,15 @@ def test_lsh_persisted_bucket_prunes_scan(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [" in plan
     qb = query_bucket(query, 6)
     assert str(qb) in plan.split("PartitionFilters")[1][:400]
+    # a passed bucket_col is VALIDATED, never silently worked around:
+    with pytest.raises(ValueError, match="not found"):
+        lsh_bucket_topk(indexed, query, k=10, n_planes=6,
+                        bucket_col="lsh_bucket_typo")
+    with pytest.raises(ValueError, match="stamped with"):
+        lsh_bucket_topk(indexed, query, k=10, n_planes=8, bucket_col=bcol)
+    with pytest.raises(ValueError, match="stamped with"):
+        lsh_bucket_topk(indexed, query, k=10, n_planes=6, seed=7,
+                        bucket_col=bcol)
 
 
 def test_ivf_topk(spark, sf_dir):
