@@ -735,6 +735,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           "class_pred", "n_merged")
     q["q46_nms"] = q46
 
+    # frontier re-prioritization by link structure (operators/graph.py
+    # reprioritize_frontier, wired into the crawl loop via
+    # CrawlConfig.blend_pagerank_every): priority' = (1-w)·priority +
+    # w·rank/max_rank over a 5-iteration PageRank. Oracle = q40's
+    # unrolled-CTE PageRank + the same blend expression in SQL.
+    def q47(spark, sf):
+        from __spider_spark.operators.graph import reprioritize_frontier
+        edges = (
+            _t(spark, sf, "lineitem")
+            .select(F.col("l_suppkey").alias("src"),
+                    F.col("l_partkey").alias("dst"))
+            .distinct()
+        )
+        frontier = _t(spark, sf, "part").select(
+            F.col("p_partkey").alias("url_hash"),
+            F.round(F.col("p_retailprice").cast("double") / 2000.0, 6)
+            .alias("priority"),
+        )
+        out = reprioritize_frontier(frontier, edges, n_iter=5, weight=0.5)
+        return (
+            out.orderBy(F.col("priority").desc(), F.col("url_hash").asc())
+            .limit(50)
+            .select("url_hash",
+                    F.round(F.col("priority"), 6).alias("priority_r"))
+        )
+    q["q47_frontier_blend"] = q47
+
     return q
 
 
@@ -1213,6 +1240,22 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY rank DESC, node ASC LIMIT 20"
     )
     o["q40_pagerank_topk"] = "".join(pr_parts)
+
+    # q47: same unrolled PageRank CTEs, then the frontier blend —
+    # priority' = round(0.5*priority + 0.5*rank/max_rank, 10) for ranked
+    # nodes, unchanged otherwise (mirrors reprioritize_frontier exactly)
+    o["q47_frontier_blend"] = "".join(pr_parts[:-1]) + (
+        ", fr AS (SELECT p_partkey AS url_hash, "
+        "round(CAST(p_retailprice AS DOUBLE) / 2000.0, 6) AS priority "
+        "FROM part), "
+        "mx AS (SELECT max(rank) AS m FROM r5) "
+        "SELECT url_hash, round(p2, 6) AS priority_r FROM ("
+        "SELECT f.url_hash, CASE WHEN r.rank IS NOT NULL THEN "
+        "round(CAST(0.5 AS DOUBLE) * f.priority + CAST(0.5 AS DOUBLE) * "
+        "(r.rank / mx.m), 10) ELSE f.priority END AS p2 "
+        "FROM fr f CROSS JOIN mx LEFT JOIN r5 r ON f.url_hash = r.node) "
+        "ORDER BY p2 DESC, url_hash ASC LIMIT 50"
+    )
 
     o["q41_retry_audit"] = """
         SELECT user_id, event_id, attempt_no,

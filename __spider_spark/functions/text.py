@@ -65,12 +65,21 @@ class _LinkExtractor(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.links: list[str] = []
+        # first rel="detail" anchor: the content-derived second-stage key
+        # (S6); navigation, not frontier discovery — kept OUT of links
+        self.detail_href: str | None = None
 
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag == "a":
-            for k, v in attrs:
-                if k == "href" and v:
-                    self.links.append(unescape(v))
+            d = dict(attrs)
+            href = d.get("href")
+            if not href:
+                return
+            if d.get("rel") == "detail":
+                if self.detail_href is None:
+                    self.detail_href = unescape(href)
+            else:
+                self.links.append(unescape(href))
 
 
 def extract_text_one(html: bytes | None) -> str | None:
@@ -84,7 +93,9 @@ def extract_text_one(html: bytes | None) -> str | None:
 
 
 def extract_links_one(html: bytes | None) -> list[str]:
-    """All <a href> values, document order, duplicates preserved."""
+    """Frontier hrefs: all <a href> values in document order, duplicates
+    preserved, EXCLUDING rel=\"detail\" navigation anchors (those feed the
+    keyed second-stage fetch, not discovery)."""
     if html is None:
         return []
     p = _LinkExtractor()
@@ -114,14 +125,20 @@ class _PageExtractor(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.chunks: list[str] = []
         self.links: list[str] = []
+        self.detail_href: str | None = None
         self._in_body = False
         self._skip_depth = 0
 
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag == "a":
-            for k, v in attrs:
-                if k == "href" and v:
-                    self.links.append(unescape(v))
+            d = dict(attrs)
+            href = d.get("href")
+            if href:
+                if d.get("rel") == "detail":
+                    if self.detail_href is None:
+                        self.detail_href = unescape(href)
+                else:
+                    self.links.append(unescape(href))
         if tag == "body":
             self._in_body = True
         elif tag in ("script", "style"):
@@ -140,27 +157,31 @@ class _PageExtractor(HTMLParser):
                 self.chunks.append(s)
 
 
-def extract_page_one(html: bytes | None) -> tuple[str, list[str]] | None:
+def extract_page_one(
+    html: bytes | None,
+) -> tuple[str, list[str], str | None] | None:
     if html is None:
         return None
     p = _PageExtractor()
     p.feed(html.decode("utf-8", errors="replace"))
     p.close()
-    return "\n".join(p.chunks), p.links
+    return "\n".join(p.chunks), p.links, p.detail_href
 
 
 @pandas_udf(
     StructType([
         StructField("text", StringType()),
         StructField("links", ArrayType(StringType())),
+        StructField("detail_href", StringType()),
     ])
 )
 def extract_page(html: pd.Series) -> pd.DataFrame:
-    """Fused html→(text, links) in one parse (Arrow-batched)."""
+    """Fused html→(text, links, detail_href) in one parse (Arrow-batched)."""
     out = html.map(extract_page_one, na_action="ignore")
     return pd.DataFrame(
         {
             "text": out.map(lambda t: t[0], na_action="ignore"),
             "links": out.map(lambda t: t[1], na_action="ignore"),
+            "detail_href": out.map(lambda t: t[2], na_action="ignore"),
         }
     )

@@ -63,13 +63,24 @@ from ..sources.lakehouse import Lakehouse
 from .detail import detail_index, fetch_details
 
 
+# optional machine-readable sink for per-phase timings: set to a list and
+# _prof appends (label, seconds) tuples — bench.py aggregates these into
+# BENCH_r{N}.json so round-over-round driver-cost progress is checkable
+PROFILE_ACC: list[tuple[str, float]] | None = None
+
+
 def _prof(label: str, t0: float) -> float:
-    """Opt-in stage timing (SPIDER_SPARK_PROFILE=1)."""
-    if os.environ.get("SPIDER_SPARK_PROFILE") == "1":
-        t = time.perf_counter()
+    """Opt-in stage timing (SPIDER_SPARK_PROFILE=1 prints; PROFILE_ACC
+    collects)."""
+    env_on = os.environ.get("SPIDER_SPARK_PROFILE") == "1"
+    if not env_on and PROFILE_ACC is None:
+        return t0
+    t = time.perf_counter()
+    if PROFILE_ACC is not None:
+        PROFILE_ACC.append((label, t - t0))
+    if env_on:
         print(f"    [crawl-prof] {label}: {t - t0:.2f}s", flush=True)
-        return t
-    return t0
+    return t
 
 FRONTIER_COLS = ["url", "url_hash", "host", "priority", "round",
                  "parent_url", "seed_index", "attempts"]
@@ -110,6 +121,14 @@ class CrawlConfig:
     # may return a new robots source (dict or (host, body) DataFrame); None
     # keeps the current rules.
     robots_refresh: object = None
+    # link-structure frontier re-prioritization (graph.py): every N rounds
+    # blend PageRank over the discovered edge relation into frontier
+    # priorities (priority' = (1-w)p + w·rank/max_rank). None disables —
+    # and then no edges table is accumulated (zero cost when off).
+    blend_pagerank_every: int | None = None
+    blend_weight: float = 0.5
+    blend_iters: int = 5
+    blend_damping: float = 0.85
     # host-alias dimension (reference: two-airport aliasing map,
     # ctripSpider.py:56-70 applied at :141-146; ylSpider06.py:465-468):
     # host -> canonical host, applied to every frontier insert BEFORE
@@ -293,6 +312,7 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
             F.when(F.col("status") == 200, F.col("html"))))
         .withColumn("text", F.col("page.text"))
         .withColumn("links", F.col("page.links"))
+        .withColumn("detail_href", F.col("page.detail_href"))
         .withColumn("err_html",
                     F.when(F.col("status") != 200, F.col("html")))
         .drop("html", "page", "fail_times")
@@ -464,6 +484,13 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
 
     appends = {"seen": newly_seen, "results": results, "errors": errors,
                "metrics": metrics}
+    if cfg.blend_pagerank_every:
+        # discovered-link edge relation for the PageRank blend: one row per
+        # resolved outlink occurrence (duplicates carry out-degree weight)
+        appends["edges"] = discovered.select(
+            url_hash_col(F.col("parent_url")).alias("src"),
+            F.col("url_hash").alias("dst"),
+        )
     if detail_idx is not None:
         # S6 keyed second-stage fetch: detail enrichment for this round's
         # successful listing fetches, committed in the SAME atomic snapshot
@@ -545,6 +572,18 @@ def run_crawl(spark: SparkSession, lake: Lakehouse, pages: DataFrame,
             break
         out.append(row)
         k = lake.latest_round()
+        if (cfg.blend_pagerank_every and k > 0
+                and k % cfg.blend_pagerank_every == 0):
+            # PageRank blend over the accumulated discovery edges; the
+            # simulator mirrors the same arithmetic (10-dp rounding pins
+            # parallel-sum noise), so crawl-order equivalence still holds
+            from ..operators.graph import reprioritize_frontier
+            fr = lake.read(spark, "frontier")
+            edges = lake.read(spark, "edges")
+            if fr is not None and edges is not None:
+                lake.commit(k, replace={"frontier": reprioritize_frontier(
+                    fr, edges, cfg.blend_iters, cfg.blend_damping,
+                    cfg.blend_weight)})
         if cfg.compact_every and k > 0 and k % cfg.compact_every == 0:
             # ONE atomic maintenance commit over every append-heavy table:
             # readers keep the old snapshot until the manifest rename,
@@ -552,7 +591,8 @@ def run_crawl(spark: SparkSession, lake: Lakehouse, pages: DataFrame,
             # crash mid-sweep can't leave the tables asymmetrically
             # compacted (single snapshot published per pass)
             lake.compact_many(
-                spark, ["seen", "results", "errors", "details", "metrics"])
+                spark, ["seen", "results", "errors", "details", "metrics",
+                        "edges"])
     idx.unpersist()
     if detail_idx is not None:
         detail_idx.unpersist()

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.detail import extract_detail
-from ..functions.urls import canonicalize_url, url_hash_col
+from ..functions.urls import canonicalize_url, resolve_link, url_hash_col
 
 DETAIL_SUFFIX = "/detail"
 
@@ -38,16 +38,44 @@ def detail_index(detail_pages: DataFrame) -> DataFrame:
     )
 
 
+def _suffix_detail_url(url):
+    """Convention fallback: insert DETAIL_SUFFIX as a path segment. For a
+    canonical URL carrying a query string the suffix goes BEFORE the '?'
+    (a raw concat would bury it inside the query and produce a
+    semantically malformed key). Pure Column expr."""
+    pos = F.locate("?", url)
+    return F.when(
+        pos > 0,
+        F.concat(F.substring(url, F.lit(1), pos - 1),
+                 F.lit(DETAIL_SUFFIX),
+                 F.substring(url, pos, F.length(url))),
+    ).otherwise(F.concat(url, F.lit(DETAIL_SUFFIX)))
+
+
 def derive_detail_key(listing: DataFrame) -> DataFrame:
     """Listing row -> (url_hash, url, detail_url, detail_hash).
 
-    ``url`` is already canonical on frontier rows, and appending a pure
-    path segment keeps it canonical, so the key derivation is a Column
-    concat + one hash — no re-canonicalization round-trip."""
+    The key is CONTENT-DERIVED when the parsed page advertises one (the
+    reference derives the detail URL from parsed row fields,
+    /root/reference/spiders/ylSpider06.py:508-510): a ``detail_href``
+    column (the page's rel="detail" anchor) is resolved against the
+    listing URL and canonicalized — an off-convention href (query string,
+    different path shape) yields the RIGHT key where a synthesized suffix
+    would 404. Rows without a content href (or inputs without the column)
+    fall back to the ``/detail`` suffix convention, inserted query-aware
+    by :func:`_suffix_detail_url`."""
+    fallback = _suffix_detail_url(F.col("url"))
+    if "detail_href" in listing.columns:
+        detail_url = F.coalesce(
+            canonicalize_url(
+                resolve_link(F.col("url"), F.col("detail_href"))),
+            fallback,
+        )
+    else:
+        detail_url = fallback
     return (
-        listing.select("url_hash", "url")
-        .withColumn("detail_url",
-                    F.concat(F.col("url"), F.lit(DETAIL_SUFFIX)))
+        listing.select("url_hash", "url",
+                       detail_url.alias("detail_url"))
         .withColumn("detail_hash", url_hash_col(F.col("detail_url")))
     )
 

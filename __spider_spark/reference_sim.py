@@ -23,7 +23,11 @@ from urllib.parse import urlsplit
 
 from .functions.detail import cheapest_cabin_one, extract_detail_one
 from .functions.hashing import spark_xxhash64_str
-from .functions.text import extract_links_one, extract_text_one
+from .functions.text import (
+    extract_links_one,
+    extract_page_one,
+    extract_text_one,
+)
 from .functions.urls import canonicalize_one, host_of_one, resolve_one
 from .operators.aliases import alias_one
 from .operators.robots import allowed_one, parse_robots, robots_budgets
@@ -58,6 +62,27 @@ def _frontier_entry_key(e: dict) -> tuple:
     )
 
 
+def _pagerank_py(edges: list[tuple[int, int]], n_iter: int,
+                 damping: float) -> dict[int, float]:
+    """Scalar twin of operators/graph.py:pagerank — same formulation,
+    same 10-dp per-iteration rounding (which is what makes the float
+    results comparable across the two implementations)."""
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    deg: dict[int, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    ranks = {v: 1.0 for v in nodes}
+    for _ in range(n_iter):
+        contribs: dict[int, float] = {}
+        for s, d in edges:
+            contribs[d] = contribs.get(d, 0.0) + ranks[s] / deg[s]
+        ranks = {
+            v: round((1.0 - damping) + damping * contribs.get(v, 0.0), 10)
+            for v in nodes
+        }
+    return ranks
+
+
 def _robots_pathq(url: str) -> str:
     """Match target per Google REP: path plus '?query' when present."""
     parts = urlsplit(url)
@@ -79,6 +104,10 @@ def simulate_crawl(
     flaky: dict[str, int] | None = None,  # canonical url -> 503s before 200
     aliases: dict[str, str] | None = None,  # host -> canonical host
     detail_pages: dict[str, bytes] | None = None,  # detail url -> html
+    blend_pagerank_every: int | None = None,
+    blend_weight: float = 0.5,
+    blend_iters: int = 5,
+    blend_damping: float = 0.85,
 ) -> SimResult:
     merged = robots_budgets(robots or {}, round_seconds)
     merged.update(budgets or {})
@@ -105,6 +134,7 @@ def simulate_crawl(
     waves, texts, statuses, metrics = [], {}, {}, []
     errors: list[dict] = []
     details: dict[str, dict] = {}
+    all_edges: list[tuple[int, int]] = []  # discovery edges (blend mode)
 
     for k in range(1, n_rounds + 1):
         if not frontier:
@@ -166,7 +196,16 @@ def simulate_crawl(
             terminal.add(e["url_hash"])
             texts[e["url"]] = extract_text_one(html)
             if detail_pages is not None:
-                du = e["url"] + "/detail"
+                # content-derived key (same rule as plans/detail.py):
+                # rel="detail" href resolved+canonicalized; fallback =
+                # /detail suffix inserted before any query string
+                href = extract_page_one(html)[2]
+                du = resolve_one(e["url"], href) if href else None
+                if not du:
+                    base = e["url"]
+                    qpos = base.find("?")
+                    du = (base[:qpos] + "/detail" + base[qpos:]
+                          if qpos >= 0 else base + "/detail")
                 dh = detail_pages.get(du)
                 cabins = extract_detail_one(dh)
                 best = cheapest_cabin_one(cabins)
@@ -182,6 +221,10 @@ def simulate_crawl(
                 if not u:
                     continue
                 u = alias_one(u, aliases)
+                if blend_pagerank_every:
+                    all_edges.append(
+                        (spark_xxhash64_str(e["url"]),
+                         spark_xxhash64_str(u)))
                 d = {
                     "url": u, "url_hash": spark_xxhash64_str(u),
                     "host": host_of_one(u),
@@ -208,6 +251,17 @@ def simulate_crawl(
         for e in retries:
             merged[e["url_hash"]] = e
         frontier = merged
+
+        if (blend_pagerank_every and k % blend_pagerank_every == 0
+                and all_edges):
+            ranks = _pagerank_py(all_edges, blend_iters, blend_damping)
+            mx = max(ranks.values()) or 1.0
+            for e in frontier.values():
+                r = ranks.get(e["url_hash"])
+                if r is not None:
+                    e["priority"] = round(
+                        (1.0 - blend_weight) * e["priority"]
+                        + blend_weight * (r / mx), 10)
 
         metrics.append({
             "round": k, "wave": len(wave), "fetched_200": n_ok,

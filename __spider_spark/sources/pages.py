@@ -121,8 +121,17 @@ def build_page(i: int, n: int, n_hosts: int, seed: int = 42,
     ]
     links = [(t, raw_url(t, n_hosts, seed)) for t in outlink_ids(i, n)]
     anchor_texts = [f"link to p{t}" for t, _ in links]
+    # detail link is CONTENT (S6: the key is derived from the parsed page,
+    # not synthesized); rel="detail" marks it as navigation, so extractors
+    # keep it out of the frontier ``links``
+    dhref = detail_href_of(i, n_hosts, seed)
+    detail_anchor = (
+        f'<p><a rel="detail" href="{dhref}">details</a></p>\n'
+        if dhref is not None else ""
+    )
+    detail_text = ["details"] if dhref is not None else []
     # golden text: the extraction contract applied by construction
-    text = "\n".join([h1, *paras, *anchor_texts])
+    text = "\n".join([h1, *paras, *anchor_texts, *detail_text])
     body_links = "\n".join(
         f'<p><a href="{u}">{a}</a></p>'
         for (t, u), a in zip(links, anchor_texts)
@@ -134,7 +143,7 @@ def build_page(i: int, n: int, n_hosts: int, seed: int = 42,
         "<script>var seen = {}; function f(x) { return x < 1; }</script>\n"
         "<style>.wave { color: #000; }</style>\n"
         "</head>\n<body>\n"
-        f"<h1>{h1}</h1>\n{body_paras}\n{body_links}\n"
+        f"<h1>{h1}</h1>\n{body_paras}\n{body_links}\n{detail_anchor}"
         "</body></html>"
     )
     return {
@@ -167,9 +176,44 @@ def generate_pages(
     )
 
 
+def detail_variant(i: int, seed: int = 42) -> int:
+    """How listing page i advertises its detail page in CONTENT:
+    0 = relative href ("p{i}/detail"), 1 = absolute same-host href,
+    2 = off-convention href with a query string (the case a synthesized
+    suffix key would get WRONG — the join would 404), 3 = no detail link
+    in the html at all (engine falls back to the /detail convention)."""
+    r = _h(seed, i, "dvar") % 10
+    if r < 6:
+        return 0
+    if r < 8:
+        return 1
+    if r < 9:
+        return 2
+    return 3
+
+
+def detail_href_of(i: int, n_hosts: int, seed: int = 42) -> str | None:
+    """The raw detail href as it appears in page i's html (None for
+    variant 3 — page carries no detail link)."""
+    v = detail_variant(i, seed)
+    h = host_of_page(i, n_hosts, seed)
+    if v == 0:
+        return f"p{i}/detail"
+    if v == 1:
+        return f"http://host{h}.test/p{i}/detail"
+    if v == 2:
+        return f"/p{i}/detail?src=listing"
+    return None
+
+
 def detail_url_of(i: int, n_hosts: int, seed: int = 42) -> str:
-    """Derived detail-page URL for listing page i (already canonical)."""
-    return canonical_url(i, n_hosts, seed) + "/detail"
+    """Canonical detail-page URL for listing page i — what the content
+    href resolves+canonicalizes to (variant 2 carries a query string, so
+    it is NOT always the bare /detail suffix)."""
+    base = canonical_url(i, n_hosts, seed)
+    if detail_variant(i, seed) == 2:
+        return base + "/detail?src=listing"
+    return base + "/detail"
 
 
 def has_detail(i: int, seed: int = 42) -> bool:

@@ -60,10 +60,14 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
-def bench_crawl(spark) -> tuple[float, float, int]:
+def bench_crawl(spark) -> tuple[float, float, int, dict[str, float]]:
     """3 scheduling rounds over a generated page store; returns
-    (elapsed_sec, urls_per_sec, urls_fetched). Page-store generation is
-    pre-materialized to parquet so only the engine is timed."""
+    (elapsed_sec, urls_per_sec, urls_fetched, phase_seconds). Page-store
+    generation is pre-materialized to parquet so only the engine is
+    timed; per-phase timings (summed across rounds) come from the crawl
+    plan's _prof hooks so driver-cost progress is machine-checkable
+    round over round."""
+    from __spider_spark.plans import crawl as crawlmod
     tmp = tempfile.mkdtemp(prefix="bench_pages_")
     pages_path = f"{tmp}/pages"
     generate_pages(spark, CRAWL_PAGES, n_hosts=64).write.mode(
@@ -73,12 +77,19 @@ def bench_crawl(spark) -> tuple[float, float, int]:
     cfg = CrawlConfig(default_budget=CRAWL_SEEDS, salt_buckets=16,
                       bloom_parts=16)
     seeds = seeds_df(spark, CRAWL_PAGES, CRAWL_SEEDS, 64)
+    acc: list[tuple[str, float]] = []
+    crawlmod.PROFILE_ACC = acc
     t0 = time.perf_counter()
     metrics = run_crawl(spark, lake, pages, seeds, cfg, CRAWL_ROUNDS)
     elapsed = time.perf_counter() - t0
+    crawlmod.PROFILE_ACC = None
+    phases: dict[str, float] = {}
+    for label, sec in acc:
+        phases[label] = round(phases.get(label, 0.0) + sec, 3)
     fetched = sum(m["wave"] for m in metrics)
     lake.destroy()
-    return round(elapsed, 3), round(fetched / elapsed, 1), fetched
+    return (round(elapsed, 3), round(fetched / elapsed, 1), fetched,
+            phases)
 
 
 def main() -> None:
@@ -93,7 +104,7 @@ def main() -> None:
                       shuffle_partitions=min(int(cpus), 16))
     spark.sparkContext.setLogLevel("ERROR")
     times = bench_queries(spark, sf_dir)
-    crawl_sec, urls_per_sec, fetched = bench_crawl(spark)
+    crawl_sec, urls_per_sec, fetched, phases = bench_crawl(spark)
     times["crawl_3rounds"] = crawl_sec
     total = round(sum(times.values()), 3)
     print(json.dumps({
@@ -105,6 +116,7 @@ def main() -> None:
         "sf": sf,
         "crawl_urls_per_sec": urls_per_sec,
         "crawl_urls_fetched": fetched,
+        "crawl_phase_sec": phases,
         "cpus": int(cpus),
     }))
 

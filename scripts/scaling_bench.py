@@ -31,7 +31,16 @@ def main() -> None:
     from __spider_spark.session import get_spark
     from __spider_spark.sources.pages import generate_pages
 
-    pages_path = tempfile.mkdtemp(prefix="scale_pages_") + "/pages"
+    # SCALE_TMPFS=1: stage input, lakehouse, and shuffle dirs on /dev/shm
+    # so the single shared virtio disk can't masquerade as a serial
+    # fraction of the job (a real cluster's N nodes bring N disk arrays)
+    import os as _os
+    scratch = None
+    if _os.environ.get("SCALE_TMPFS") == "1":
+        scratch = tempfile.mkdtemp(prefix="scale_r3_", dir="/dev/shm")
+        _os.environ["SCALE_LOCAL_DIR"] = scratch
+    pages_path = tempfile.mkdtemp(prefix="scale_pages_",
+                                  dir=scratch) + "/pages"
     spark = get_spark(app_name="scale-gen", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
     # weight≈10 ≈ realistic article-sized pages: extraction compute (the
@@ -73,12 +82,15 @@ def main() -> None:
         label_4n = f"local-cluster[{max(n, 1)}×4cores]"
     else:
         label_n, label_4n = f"local[{n}]", f"local[{4 * n}]"
+    tmpfs_note = (
+        "\nInput store, lakehouse, and spark.local.dir on tmpfs (/dev/shm) —"
+        "\nshared-disk confound removed." if scratch else "")
     block = f"""
-## Scaling run {stamp} (mode={mode})
+## Scaling run {stamp} (mode={mode}{", tmpfs" if scratch else ""})
 
 Same crawl job (pages={n_pages}, page weight={weight}, seeds={n_seeds},
 rounds={rounds}, budget=per-host unlimited-equivalent) on identical input
-at two parallelism levels (sandbox substitution for N vs 4N executors):
+at two parallelism levels (sandbox substitution for N vs 4N executors):{tmpfs_note}
 
 | parallelism | elapsed (s) | URLs fetched | URLs/sec |
 |---|---|---|---|
@@ -91,6 +103,9 @@ scaling efficiency = (thr_4N / thr_N) / 4 = **{eff}** (target ≥ 0.8).
     bench_md = REPO / "BENCH.md"
     prev = bench_md.read_text() if bench_md.exists() else "# BENCH — scaling runs\n"
     bench_md.write_text(prev + block)
+    if scratch:
+        import shutil
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -53,11 +53,22 @@ def main() -> None:
     # partitions == cores: oversubscribing (2x) measured pathological here —
     # concurrent commit jobs x partitions x Python workers thrash the box
     parts = int(os.environ.get("SCALE_PARTS", max(cores, 8)))
+    # SCALE_LOCAL_DIR (e.g. /dev/shm/...): put shuffle/spill dirs AND the
+    # lakehouse on tmpfs — removes the shared-virtio-disk confound from the
+    # two-cluster-size measurement (each node of a real cluster brings its
+    # own disks; this box has ONE, so disk-bound phases are flat in N by
+    # construction — BENCH.md round-2 probe (c))
+    scratch = os.environ.get("SCALE_LOCAL_DIR")
+    if scratch:
+        os.makedirs(scratch, exist_ok=True)
+        extra["spark.local.dir"] = tempfile.mkdtemp(
+            prefix=f"spark_local_{cores}_", dir=scratch)
     spark = get_spark(app_name=f"scaling-{cores}", master=master,
                       shuffle_partitions=parts, extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     pages = spark.read.parquet(pages_path)
-    lake = Lakehouse(tempfile.mkdtemp(prefix=f"scale_lake_{cores}_"))
+    lake = Lakehouse(tempfile.mkdtemp(prefix=f"scale_lake_{cores}_",
+                                      dir=scratch or None))
     cfg = CrawlConfig(default_budget=n_seeds, salt_buckets=16, bloom_parts=16)
     seeds = seeds_df(spark, n_pages, n_seeds, 64)
     t0 = time.perf_counter()

@@ -12,6 +12,11 @@ if str(REPO) not in sys.path:
 from __spider_spark.session import get_spark  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "soak: long-running crawl soak test (~2-3 min)")
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark(app_name="__spider_spark-tests", master="local[4]",

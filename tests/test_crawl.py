@@ -189,6 +189,37 @@ def test_lakehouse_time_travel(spark, crawled):
     assert lake.versions()[-1] > v_before
 
 
+def test_pagerank_blend_order_matches_sim(spark):
+    """Frontier re-prioritization by link structure (graph.py) wired into
+    the crawl loop: with a PageRank blend every round, the engine's crawl
+    order must still match the simulator's (which mirrors the blend with
+    a scalar twin), AND differ from the unblended order (the blend must
+    actually change scheduling, not be a no-op)."""
+    import tempfile as _tf
+    pages = generate_pages(spark, N, HOSTS)
+    seeds = make_seeds(spark, N, SEEDS, HOSTS)
+    cfg = CrawlConfig(default_budget=4, use_bloom=False,
+                      blend_pagerank_every=1, blend_weight=0.5,
+                      blend_iters=3)
+    lake = Lakehouse(_tf.mkdtemp(prefix="lake_pr_"))
+    run_crawl(spark, lake, pages, seeds, cfg, ROUNDS)
+    got = [
+        [r.url_hash for r in lake.read(spark, "results")
+         .filter(F.col("round") == k).orderBy("fetch_order").collect()]
+        for k in range(1, ROUNDS + 1)
+    ]
+    blended_sim = simulate_crawl(
+        _pages_dict(), seed_urls(N, SEEDS, HOSTS), ROUNDS,
+        default_budget=4, blend_pagerank_every=1, blend_weight=0.5,
+        blend_iters=3)
+    assert got == blended_sim.waves
+    plain_sim = simulate_crawl(
+        _pages_dict(), seed_urls(N, SEEDS, HOSTS), ROUNDS,
+        default_budget=4)
+    assert got != plain_sim.waves, "blend must actually reorder the crawl"
+    lake.destroy()
+
+
 def test_auto_compaction_preserves_crawl(spark):
     """compact_every rewrites every append-heavy table's fragments
     mid-crawl in ONE atomic maintenance commit, without changing any row

@@ -123,6 +123,50 @@ def test_detail_enrichment_matches_sim(spark, detail_crawled, detail_sim):
     assert got == want
 
 
+def test_content_derived_key_beats_convention(spark, detail_crawled):
+    """Off-convention detail hrefs (variant 2: '?src=listing' query) must
+    enrich successfully — the synthesized '/detail' suffix key would 404
+    on every one of them. Also pins variant coverage in the fixture and
+    the query-aware fallback for no-link pages (variant 3)."""
+    from __spider_spark.sources.pages import (
+        canonical_url, detail_variant)
+    rows = {r["url"]: r
+            for r in detail_crawled.read(spark, "details").collect()}
+    by_variant: dict[int, int] = {}
+    checked_v2 = 0
+    for i in range(N):
+        u = canonical_url(i, HOSTS)
+        r = rows.get(u)
+        if r is None:
+            continue  # not crawled within ROUNDS
+        v = detail_variant(i)
+        by_variant[v] = by_variant.get(v, 0) + 1
+        assert r["detail_url"] == detail_url_of(i, HOSTS)
+        if v == 2 and has_detail(i):
+            assert r["detail_status"] == 200, \
+                f"page {i}: off-convention key must hit the store"
+            checked_v2 += 1
+    assert set(by_variant) == {0, 1, 2, 3}, by_variant
+    assert checked_v2 >= 3
+
+
+def test_suffix_fallback_is_query_aware(spark):
+    """A listing URL that itself carries a query string gets the /detail
+    segment inserted BEFORE the '?', not appended inside the query."""
+    from __spider_spark.plans.detail import derive_detail_key
+    listing = spark.createDataFrame(
+        [(1, "http://h.test/p?q=1"), (2, "http://h.test/p"),
+         (3, "http://h.test/p?a=1&b=2")],
+        "url_hash long, url string")
+    got = {r["url"]: r["detail_url"]
+           for r in derive_detail_key(listing).collect()}
+    assert got == {
+        "http://h.test/p?q=1": "http://h.test/p/detail?q=1",
+        "http://h.test/p": "http://h.test/p/detail",
+        "http://h.test/p?a=1&b=2": "http://h.test/p/detail?a=1&b=2",
+    }
+
+
 def test_missing_detail_is_404_with_null_enrichment(spark, detail_crawled,
                                                     detail_sim):
     rows = detail_crawled.read(spark, "details").collect()
