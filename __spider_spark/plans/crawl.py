@@ -121,6 +121,13 @@ class CrawlConfig:
     # may return a new robots source (dict or (host, body) DataFrame); None
     # keeps the current rules.
     robots_refresh: object = None
+    # inline curation (the production 100 TB shape): stamp each fetched
+    # page's results row with lang-ID, quality score, token count, and
+    # fingerprint IN the crawl pass — pure JVM Column exprs over the
+    # extracted text (functions/textstats.py), no extra scan of the
+    # corpus later. Reference analogue: the parse callback computes row
+    # fields at fetch time (ctripSpider.py:252-292), not in a second job.
+    curate: bool = False
     # link-structure frontier re-prioritization (graph.py): every N rounds
     # blend PageRank over the discovered edge relation into frontier
     # priorities (priority' = (1-w)p + w·rank/max_rank). None disables —
@@ -321,9 +328,25 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
 
     # every attempt is logged (503s included — the reference logs failed
     # tries too), so fetch_order stays gap-free within the round
+    curation_cols = []
+    if cfg.curate:
+        from ..functions.textstats import (
+            fingerprint,
+            lang_guess,
+            quality_score,
+            token_count,
+        )
+        t = F.col("text")
+        curation_cols = [
+            lang_guess(t).alias("lang_guess"),
+            F.round(quality_score(t), 6).alias("quality"),
+            token_count(t).alias("n_tokens"),
+            fingerprint(t).alias("fingerprint"),
+        ]
     results = extracted.select(
         "url", "url_hash", "host",
         F.lit(k).alias("round"), "fetch_order", "status", "text",
+        *curation_cols,
         F.struct(
             F.col("parent_url"),
             F.spark_partition_id().alias("partition_id"),
@@ -484,6 +507,15 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
 
     appends = {"seen": newly_seen, "results": results, "errors": errors,
                "metrics": metrics}
+    # the metrics counts are already on the driver — drop writes that are
+    # provably empty (each one is a full Spark job + py4j round-trip; an
+    # error-free round was paying for an empty `errors` fragment)
+    if n_404 + n_gave_up == 0:
+        del appends["errors"]
+    if metrics_row["wave"] == 0:          # blocked-only round
+        del appends["results"]
+    if n_ok + n_404 + n_gave_up + n_blocked == 0:  # all-retry round
+        del appends["seen"]
     if cfg.blend_pagerank_every:
         # discovered-link edge relation for the PageRank blend: one row per
         # resolved outlink occurrence (duplicates carry out-degree weight)
@@ -491,7 +523,7 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
             url_hash_col(F.col("parent_url")).alias("src"),
             F.col("url_hash").alias("dst"),
         )
-    if detail_idx is not None:
+    if detail_idx is not None and n_ok > 0:
         # S6 keyed second-stage fetch: detail enrichment for this round's
         # successful listing fetches, committed in the SAME atomic snapshot
         # (the reference's detail callback writes into the same row batch)
@@ -524,9 +556,22 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
     return metrics_row
 
 
+def build_pages_index(spark: SparkSession, pages: DataFrame,
+                      n_part: int | None = None) -> DataFrame:
+    """Hash-partition the page store ON the fetch-join key and persist —
+    the local analogue of bucketing the Iceberg pages table by url_hash.
+    Built once per crawl (amortized over its whole lifetime); callers that
+    measure steady-state rounds can pre-materialize it (``.count()``) and
+    pass it to :func:`run_crawl` via ``pages_idx``."""
+    if n_part is None:
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return pages_index(pages).repartition(n_part, "url_hash").persist()
+
+
 def run_crawl(spark: SparkSession, lake: Lakehouse, pages: DataFrame,
               seeds: DataFrame, cfg: CrawlConfig, n_rounds: int,
-              detail_pages: DataFrame | None = None) -> list[dict]:
+              detail_pages: DataFrame | None = None,
+              pages_idx: DataFrame | None = None) -> list[dict]:
     """Run/resume a crawl for up to n_rounds (idempotent across restarts:
     picks up from the last committed snapshot — SURVEY.md §2.9 resume)."""
     if lake.latest_round() < 0:
@@ -543,7 +588,8 @@ def run_crawl(spark: SparkSession, lake: Lakehouse, pages: DataFrame,
     # local analogue of bucketing the Iceberg pages table by url_hash.
     # Measured 3.4x on the 3-round bench vs an unpartitioned cache.
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    idx = pages_index(pages).repartition(n_part, "url_hash").persist()
+    own_idx = pages_idx is None
+    idx = build_pages_index(spark, pages, n_part) if own_idx else pages_idx
     detail_idx = None
     if detail_pages is not None:
         # same bucketing discipline as the listing store: partition the
@@ -593,7 +639,8 @@ def run_crawl(spark: SparkSession, lake: Lakehouse, pages: DataFrame,
             lake.compact_many(
                 spark, ["seen", "results", "errors", "details", "metrics",
                         "edges"])
-    idx.unpersist()
+    if own_idx:
+        idx.unpersist()
     if detail_idx is not None:
         detail_idx.unpersist()
     return out

@@ -189,6 +189,41 @@ def test_lakehouse_time_travel(spark, crawled):
     assert lake.versions()[-1] > v_before
 
 
+def test_curate_stamps_match_and_order_unchanged(spark, sim):
+    """curate=True (the production 100 TB shape) stamps lang/quality/
+    token/fingerprint per fetched row in the crawl pass, without touching
+    the crawl order; each stamp equals the same Column expr applied to
+    that row's own text (catches row-misalignment in the fused select)."""
+    import tempfile as _tf
+    from __spider_spark.functions.textstats import (
+        fingerprint, lang_guess, quality_score, token_count)
+    lake = Lakehouse(_tf.mkdtemp(prefix="lake_cur_"))
+    cfg = _cfg()
+    cfg.curate = True
+    run_crawl(spark, lake, generate_pages(spark, N, HOSTS),
+              make_seeds(spark, N, SEEDS, HOSTS), cfg, ROUNDS)
+    res = lake.read(spark, "results")
+    for c in ("lang_guess", "quality", "n_tokens", "fingerprint"):
+        assert c in res.columns
+    got_waves = [
+        [r.url_hash for r in res.filter(F.col("round") == k)
+         .orderBy("fetch_order").collect()]
+        for k in range(1, ROUNDS + 1)
+    ]
+    assert got_waves == sim.waves  # curation must not perturb scheduling
+    t = F.col("text")
+    bad = res.filter(F.col("status") == 200).filter(
+        ~(
+            (F.col("lang_guess") == lang_guess(t))
+            & (F.col("quality") == F.round(quality_score(t), 6))
+            & (F.col("n_tokens") == token_count(t))
+            & (F.col("fingerprint") == fingerprint(t))
+        )
+    ).count()
+    assert bad == 0
+    lake.destroy()
+
+
 def test_pagerank_blend_order_matches_sim(spark):
     """Frontier re-prioritization by link structure (graph.py) wired into
     the crawl loop: with a PageRank blend every round, the engine's crawl
@@ -225,13 +260,22 @@ def test_auto_compaction_preserves_crawl(spark):
     mid-crawl in ONE atomic maintenance commit, without changing any row
     the crawl produces (and fragment counts drop across the board)."""
     import tempfile as _tf
+    from __spider_spark.sources.pages import canonical_url
     pages = generate_pages(spark, N, HOSTS)
-    seeds = make_seeds(spark, N, SEEDS, HOSTS)
+    # error-free rounds no longer write empty error fragments at all, so
+    # seed errors in TWO rounds: a dead seed (404, round 1) and a flaky
+    # page that exhausts max_attempts (gave-up, round 3)
+    seeds = make_seeds(spark, N, SEEDS, HOSTS).unionByName(
+        spark.createDataFrame(
+            [(9001, "http://host0.test/p990001")],
+            "seed_index long, url string"))
+    flaky = {canonical_url(1, HOSTS): 5}
 
     def run(compact_every):
         lake = Lakehouse(_tf.mkdtemp(prefix="lake_cmp_"))
         run_crawl(spark, lake, pages, seeds,
                   CrawlConfig(default_budget=4, use_bloom=False,
+                              flaky=flaky,
                               compact_every=compact_every), ROUNDS)
         res = sorted(
             (r["url_hash"], r["round"], r["fetch_order"], r["status"])
@@ -251,6 +295,9 @@ def test_auto_compaction_preserves_crawl(spark):
     for t in ("seen", "results", "errors", "metrics"):
         assert dirs_b[t] < dirs_a[t], f"{t} fragments not merged"
     # each maintenance pass is ONE commit covering all swept tables
+    # (errors may not exist yet at the first sweep — error-free rounds
+    # write no error fragments)
     sweeps = [s for s in snaps_b if s]
-    assert sweeps and all("seen" in s and "results" in s and "errors" in s
+    assert sweeps and all("seen" in s and "results" in s
                           and "metrics" in s for s in sweeps)
+    assert "errors" in sweeps[-1]
