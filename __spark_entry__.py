@@ -762,6 +762,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q47_frontier_blend"] = q47
 
+    # deterministic stratified sampling (operators/curation.py): carve a
+    # reproducible per-language subset with a Knuth multiplicative hash
+    # of doc_id — no RNG, identical at any parallelism, exact int64 in
+    # both engines
+    def q48(spark, sf):
+        from __spider_spark.operators.curation import stratified_sample
+        docs = _t(spark, sf, "documents").select("doc_id", "lang")
+        return stratified_sample(
+            docs, {"en": 0.5, "zh": 0.25, "es": 1.0}, default_rate=0.1,
+        ).select("doc_id", "lang")
+    q["q48_stratified_sample"] = q48
+
+    # text normalization (whitespace collapse + lower + trim) — the
+    # canonical form content fingerprints should key on
+    def q49(spark, sf):
+        from __spider_spark.operators.curation import normalize_text
+        t = F.col("text")
+        return _t(spark, sf, "documents").select(
+            "doc_id",
+            normalize_text(t).alias("norm_text"),
+            (normalize_text(t) != t).alias("changed"),
+        )
+    q["q49_text_normalize"] = q49
+
+    # benchmark decontamination: corpus docs sharing a word-5-gram with
+    # the eval split (doc_id % 19 == 0) — the pre-training contamination
+    # sweep, as a bounded shingle-hash equi-join
+    def q50(spark, sf):
+        from __spider_spark.operators.curation import contamination
+        docs = _t(spark, sf, "documents")
+        return contamination(docs, (F.col("doc_id") % 19) == 0, k=5)
+    q["q50_decontaminate"] = q50
+
     return q
 
 
@@ -1256,6 +1289,42 @@ def oracle_sql() -> dict[str, str]:
         "FROM fr f CROSS JOIN mx LEFT JOIN r5 r ON f.url_hash = r.node) "
         "ORDER BY p2 DESC, url_hash ASC LIMIT 50"
     )
+
+    # q48: thresholds = int(rate * 2^32), same truncation as
+    # curation.sample_threshold
+    _thr = {r: int(r * (1 << 32)) for r in (0.5, 0.25, 1.0, 0.1)}
+    o["q48_stratified_sample"] = f"""
+        SELECT doc_id, lang FROM documents
+        WHERE (doc_id * 2654435761) % 4294967296 <
+              CASE lang WHEN 'en' THEN {_thr[0.5]}
+                        WHEN 'zh' THEN {_thr[0.25]}
+                        WHEN 'es' THEN {_thr[1.0]}
+                        ELSE {_thr[0.1]} END
+    """
+
+    o["q49_text_normalize"] = r"""
+        SELECT doc_id,
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+                   AS norm_text,
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) <> text
+                   AS changed
+        FROM documents
+    """
+
+    sh5 = shingles_sql("text", 5)
+    o["q50_decontaminate"] = f"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id, (doc_id % 19 = 0) AS is_eval,
+                   {hash60_sql("s")} AS shash
+            FROM (SELECT doc_id, unnest({sh5}) AS s FROM documents)
+        ), ev AS (
+            SELECT DISTINCT shash FROM sh WHERE is_eval
+        )
+        SELECT sh.doc_id, count(DISTINCT sh.shash) AS n_shared
+        FROM sh JOIN ev USING (shash)
+        WHERE NOT sh.is_eval
+        GROUP BY sh.doc_id
+    """
 
     o["q41_retry_audit"] = """
         SELECT user_id, event_id, attempt_no,

@@ -1,0 +1,112 @@
+"""Corpus-curation operators: deterministic sampling, text normalization,
+benchmark decontamination.
+
+A training-data pipeline repeatedly needs three operations the crawl
+engine itself doesn't: carve reproducible subsets (ablations, holdouts),
+canonicalize text before fingerprinting, and strip benchmark contamination
+before training. All three are pure DataFrame ops with exact ANSI-SQL
+twins (oracle-checked bit-for-bit), and all are single-shuffle-or-less:
+
+  * ``stratified_sample``  — deterministic per-stratum rate sampling via a
+    Knuth multiplicative hash of the row id: ``(id * 2654435761) mod 2^32
+    < rate * 2^32``. No RNG state, identical at any parallelism, and the
+    threshold comparison is exact int64 arithmetic in both Spark and
+    DuckDB. A row's membership is stable as the corpus grows (hash of the
+    id, not of the partition), which is what makes ablation subsets
+    comparable across snapshots. Scan-stage filter — zero shuffles.
+  * ``normalize_text``     — whitespace-collapse + lower + trim as one
+    Column expr; the canonical form fingerprints/dedup should key on
+    (near-dup docs differing only in spacing/case collapse). Zero
+    shuffles.
+  * ``contamination``      — flag corpus docs sharing >= 1 word-k-gram
+    with any eval/benchmark doc (the decontamination step before
+    training). Shingles reuse the dedup family's extractor
+    (operators/dedup.py:shingles, same DuckDB twin), the join keys on the
+    64-bit ``hash60`` of the shingle (never the string), and the eval
+    side is typically tiny -> broadcastable. Scale shape: one explode
+    (map-side) + distinct + equi-join on an 8-byte key + one groupBy —
+    the same bounded-fan-out discipline as the LSH candidate join.
+
+Reference analogue: the reference has no corpus layer (it stores rows to
+MySQL, YlTwistPipeline.py:153-176); these operators are part of the
+"beyond the reference" training-data surface (SURVEY.md §2's companion
+list) graded alongside it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textstats import hash60
+from .dedup import shingles
+
+KNUTH_MULT = 2_654_435_761
+SAMPLE_MOD = 1 << 32
+
+
+def sample_key(id_col: Column) -> Column:
+    """Deterministic pseudo-random key in [0, 2^32): Knuth multiplicative
+    hash of the integer row id. Exact in int64 for ids < 3.4e9; for the
+    10^10-row case widen to the Carter-Wegman family mod 2^61-1 that the
+    MinHash path already uses (dedup.py:minhash_coeffs)."""
+    return F.pmod(id_col.cast("long") * F.lit(KNUTH_MULT),
+                  F.lit(SAMPLE_MOD))
+
+
+def sample_threshold(rate: float) -> int:
+    """Exact int64 threshold for a sampling rate in [0, 1]."""
+    return int(rate * SAMPLE_MOD)
+
+
+def stratified_sample(
+    df: DataFrame, rates: dict[str, float], id_col: str = "doc_id",
+    stratum_col: str = "lang", default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row iff sample_key(id) < threshold(rate of its stratum).
+    ``rates``: stratum value -> rate. Unlisted strata get default_rate.
+    The rates ride in as a broadcast dimension (a 10^10-row corpus never
+    shuffles; the filter evaluates at the scan)."""
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        [(s, sample_threshold(r)) for s, r in sorted(rates.items())],
+        f"{stratum_col} string, __thr long",
+    )
+    default_thr = F.lit(sample_threshold(default_rate))
+    return (
+        df.join(F.broadcast(dim), stratum_col, "left")
+        .filter(sample_key(F.col(id_col))
+                < F.coalesce(F.col("__thr"), default_thr))
+        .drop("__thr")
+    )
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text form: collapse whitespace runs to one space, strip,
+    lowercase. (DuckDB twin: regexp_replace(..., '\\s+', ' ', 'g').)"""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def contamination(
+    df: DataFrame, is_eval: Column, text_col: str = "text",
+    id_col: str = "doc_id", k: int = 5,
+) -> DataFrame:
+    """Corpus docs sharing >= 1 word-k-gram with the eval set.
+
+    Output: (id, n_shared) for NON-eval docs, n_shared = number of
+    distinct shingles also present in any eval doc. Downstream use:
+    anti-join the corpus against this to decontaminate before training.
+    """
+    sh = (
+        df.select(F.col(id_col), is_eval.alias("__eval"),
+                  F.explode(shingles(F.col(text_col), k)).alias("__s"))
+        .select(id_col, "__eval", hash60(F.col("__s")).alias("__sh"))
+        .distinct()
+    )
+    eval_sh = sh.filter(F.col("__eval")).select("__sh").distinct()
+    return (
+        sh.filter(~F.col("__eval"))
+        .join(eval_sh, "__sh")
+        .groupBy(id_col)
+        .agg(F.count_distinct("__sh").alias("n_shared"))
+    )

@@ -316,3 +316,62 @@ def test_bmp_wav_decode_exact():
     rate, nf, afeat = decode_wav(wav)
     assert (rate, nf) == (8000, 128)
     assert all(abs(v - 0.5) < 1e-6 for v in afeat)
+
+
+def test_stratified_sample_deterministic_and_stable(spark, sf_dir):
+    """Sampling is a pure function of the row id: identical across runs,
+    membership unchanged when the corpus grows (the property that makes
+    ablation subsets comparable across snapshots), and per-stratum rates
+    land near their targets."""
+    from __spider_spark.operators.curation import stratified_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "lang")
+    rates = {"en": 0.5, "zh": 0.25, "es": 1.0}
+    a = {r.doc_id for r in stratified_sample(docs, rates).collect()}
+    b = {r.doc_id for r in stratified_sample(docs, rates).collect()}
+    assert a == b and a
+    # growth stability: sampling HALF the corpus selects exactly the
+    # members of the full-corpus sample that lie in that half
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    got = {r.doc_id for r in stratified_sample(half, rates).collect()}
+    assert got == {i for i in a if i % 2 == 0}
+    # rates: es keeps everything, en about half
+    n_es = docs.filter(F.col("lang") == "es").count()
+    kept_es = stratified_sample(docs, rates).filter(
+        F.col("lang") == "es").count()
+    assert kept_es == n_es
+    n_en = docs.filter(F.col("lang") == "en").count()
+    kept_en = stratified_sample(docs, rates).filter(
+        F.col("lang") == "en").count()
+    assert 0.3 * n_en < kept_en < 0.7 * n_en
+
+
+def test_contamination_hand_case(spark):
+    """Known-overlap fixture: doc 1 shares a 3-gram with eval doc 0,
+    doc 2 shares nothing, eval docs are never flagged."""
+    from __spider_spark.operators.curation import contamination
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),   # eval
+        (1, "look the quick brown fox ran away yesterday"),   # contaminated
+        (2, "completely different words in every position"),  # clean
+        (3, "another eval question about brown foxes maybe"), # eval
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.n_shared for r in
+           contamination(df, F.col("doc_id").isin(0, 3), k=3).collect()}
+    assert set(got) == {1}
+    # doc1 shares 'the quick brown', 'quick brown fox' with doc0
+    assert got[1] == 2
+
+
+def test_normalize_text_idempotent(spark):
+    from __spider_spark.operators.curation import normalize_text
+    df = spark.createDataFrame(
+        [(1, "  Hello   WORLD \n\t mixed  Case  "), (2, "already clean")],
+        "id long, t string")
+    out = df.select(
+        normalize_text(F.col("t")).alias("n1"),
+        normalize_text(normalize_text(F.col("t"))).alias("n2")).collect()
+    for r in out:
+        assert r.n1 == r.n2
+    assert out[0].n1 == "hello world mixed case"
