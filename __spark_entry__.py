@@ -23,6 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from __spider_spark.functions.textstats import (  # noqa: E402
     STOPWORDS,
+    TOKENS_SQL,
     ascii_ratio,
     fingerprint,
     hash60_sql,
@@ -795,6 +796,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return contamination(docs, (F.col("doc_id") % 19) == 0, k=5)
     q["q50_decontaminate"] = q50
 
+    # per-doc TF-IDF keyword extraction (top-3 terms, deterministic
+    # tie-break) — explode -> groupBy(doc,term) -> term-df join -> window
+    def q51(spark, sf):
+        from __spider_spark.operators.curation import tfidf_top_terms
+        return tfidf_top_terms(_t(spark, sf, "documents"), top_n=3)
+    q["q51_tfidf_keywords"] = q51
+
     return q
 
 
@@ -1309,6 +1317,31 @@ def oracle_sql() -> dict[str, str]:
                lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) <> text
                    AS changed
         FROM documents
+    """
+
+    toks_sql = TOKENS_SQL.format(c="text")
+    o["q51_tfidf_keywords"] = f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({toks_sql}) AS term FROM documents
+        ), t AS (
+            SELECT doc_id, term, count(*) AS tf FROM toks
+            WHERE term <> '' GROUP BY doc_id, term
+        ), dfq AS (
+            SELECT term, count(DISTINCT doc_id) AS dfn FROM t GROUP BY term
+        ), nd AS (
+            SELECT count(DISTINCT doc_id) AS n FROM documents
+        ), s AS (
+            SELECT t.doc_id, t.term,
+                   round(t.tf * ln(CAST(nd.n + 1 AS DOUBLE)
+                                   / CAST(dfq.dfn + 1 AS DOUBLE)), 6)
+                       AS score
+            FROM t JOIN dfq USING (term) CROSS JOIN nd
+        )
+        SELECT doc_id, term, score,
+               CAST(row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, term ASC)
+                   AS INT) AS rank
+        FROM s QUALIFY rank <= 3
     """
 
     sh5 = shingles_sql("text", 5)

@@ -35,7 +35,7 @@ list) graded alongside it.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.textstats import hash60
@@ -85,6 +85,47 @@ def normalize_text(col: Column) -> Column:
     """Canonical text form: collapse whitespace runs to one space, strip,
     lowercase. (DuckDB twin: regexp_replace(..., '\\s+', ' ', 'g').)"""
     return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    top_n: int = 3,
+) -> DataFrame:
+    """Per-document top-N keywords by tf-idf.
+
+    tf = term count in doc; idf = ln((N_docs + 1) / (df_term + 1));
+    score = tf * idf rounded to 6 dp (so parallel float noise cannot
+    reorder), ties -> term ascending. Output: (id, term, score, rank).
+
+    Scale shape: tokens explode map-side -> one groupBy(doc, term) ->
+    per-term doc-frequency agg (keyed on term, a second small shuffle) ->
+    per-doc window over at most |distinct terms in doc| rows. No
+    all-pairs, no driver collection; N_docs is the only scalar and rides
+    in as a literal subquery (count agg)."""
+    from ..functions.textstats import tokens
+    toks = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col)))
+                  .alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(
+        F.count_distinct(id_col).alias("df"))
+    n_docs = df.select(F.count_distinct(F.col(id_col))).first()[0]
+    scored = (
+        tf.join(dfreq, "term")
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log((F.lit(float(n_docs + 1)))
+                                        / (F.col("df") + 1)), 6))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(id_col, "term", "score", "rank")
+    )
 
 
 def contamination(

@@ -69,7 +69,10 @@ def main() -> None:
             cmd = [sys.executable, str(REPO / "scripts/scaling_job.py"),
                    str(cores), pages_path, str(n_pages), str(n_seeds),
                    str(rounds), mode]
-            if taskset_on and mode == "local":
+            if taskset_on:
+                # affinity is inherited by forked executor JVMs and python
+                # workers, so this confines the whole tree in cluster mode
+                # too (and JDK 17 sizes GC pools from the mask)
                 cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
             out = subprocess.run(
                 cmd,
