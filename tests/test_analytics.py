@@ -375,3 +375,29 @@ def test_normalize_text_idempotent(spark):
     for r in out:
         assert r.n1 == r.n2
     assert out[0].n1 == "hello world mixed case"
+
+
+def test_tfidf_hand_case(spark):
+    """Hand-checkable corpus: a term unique to one doc outranks terms
+    shared across all docs; ranks are dense 1..top_n with deterministic
+    tie-break."""
+    import math
+
+    from __spider_spark.operators.curation import tfidf_top_terms
+    rows = [
+        (0, "spark spark spark common"),
+        (1, "unique common filler filler"),
+        (2, "common filler other words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.doc_id, r.rank): (r.term, r.score)
+           for r in tfidf_top_terms(df, top_n=2).collect()}
+    # doc0's top term is 'spark' (tf=3, df=1): 3*ln(4/2)
+    assert out[(0, 1)][0] == "spark"
+    assert abs(out[(0, 1)][1] - round(3 * math.log(4 / 2), 6)) < 1e-9
+    # 'common' appears in every doc -> idf = ln(4/4) = 0 everywhere
+    assert all(t != "common" or s == 0.0 for t, s in out.values())
+    # doc1: 'unique' (tf=1, df=1 -> 1*ln(4/2)=0.693) outranks
+    # 'filler' (tf=2, df=2 -> 2*ln(4/3)=0.575)
+    assert out[(1, 1)][0] == "unique"
+    assert out[(1, 2)][0] == "filler"
