@@ -803,6 +803,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return tfidf_top_terms(_t(spark, sf, "documents"), top_n=3)
     q["q51_tfidf_keywords"] = q51
 
+    # transitive duplicate clustering: connected components over the LSH
+    # candidate pairs (pairs a~b, b~c collapse into ONE cluster labeled
+    # by its min doc id — what pairwise keep-min policies can't express).
+    # Min-label propagation to FIXPOINT, so the recursive-CTE oracle
+    # computes the identical relation.
+    def q52(spark, sf):
+        from __spider_spark.operators.graph import connected_components
+        sig = minhash_signatures(_t(spark, sf, "documents"), "text",
+                                 "doc_id", n_hashes=16)
+        pairs = lsh_candidate_pairs(sig, n_bands=4, rows_per_band=4)
+        edges = pairs.select(F.col("doc_a").alias("src"),
+                             F.col("doc_b").alias("dst"))
+        return connected_components(edges)
+    q["q52_dup_components"] = q52
+
     return q
 
 
@@ -1317,6 +1332,26 @@ def oracle_sql() -> dict[str, str]:
                lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) <> text
                    AS changed
         FROM documents
+    """
+
+    # q52: exact-fixpoint connected components over the q17 pair relation
+    # (recursive CTE reaches the same fixpoint as min-label propagation)
+    o["q52_dup_components"] = f"""
+        WITH RECURSIVE pairs AS (
+            SELECT * FROM ({o["q17_minhash_lsh_pairs"]})
+        ), cc_edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ), cc_nodes AS (
+            SELECT DISTINCT src AS node FROM cc_edges
+        ), reach AS (
+            SELECT node, node AS root FROM cc_nodes
+            UNION
+            SELECT e.dst AS node, r.root
+            FROM reach r JOIN cc_edges e ON e.src = r.node
+        )
+        SELECT node, min(root) AS component FROM reach GROUP BY node
     """
 
     toks_sql = TOKENS_SQL.format(c="text")

@@ -63,6 +63,76 @@ def pagerank(
     return ranks
 
 
+def connected_components(
+    edges: DataFrame,          # (src long, dst long), treated undirected
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by min-label propagation: every node ends up
+    labeled with the SMALLEST node id reachable from it. Returns
+    (node, component).
+
+    This is the transitive closure the pair-based near-dedup policies
+    need: LSH/Jaccard emit PAIRS (a~b, b~c), and keeping "min of each
+    pair" can retain both a and c even though a~c transitively; grouping
+    by component collapses the whole duplicate cluster to one canonical
+    representative (component = min doc id in the cluster).
+
+    Each iteration: labels ⋈ symmetrized edges (keyed on the 8-byte id)
+    + one groupBy-min; the loop stops when an iteration changes no label
+    (one count per iteration reaches the driver — O(diameter) rounds,
+    and duplicate clusters are shallow). Lineage is truncated with
+    ``localCheckpoint`` every few rounds — without it Catalyst re-analyzes
+    a plan that grows per iteration and the driver, not the data, becomes
+    the bottleneck (the same discipline pagerank documents). For graphs
+    with adversarial diameter swap the join for the large-star/small-star
+    alternation (Kiveris et al., "Connected Components in MapReduce"),
+    which squares the convergence rate with the same per-round shape.
+
+    Exact-fixpoint semantics (not a fixed-iteration cut), so an ANSI
+    recursive CTE computes the identical relation — oracle-checkable.
+    """
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # candidate label for dst = min over incoming neighbors' labels
+        prop = (
+            sym.join(labels, sym.src == labels.node)
+            .select(F.col("dst").alias("node"),
+                    F.col("component").alias("cand"))
+            .groupBy("node")
+            .agg(F.min("cand").alias("cand"))
+        )
+        # localCheckpoint truncates lineage each round: the plan stays
+        # O(1) deep, so 20+ rounds don't drown the driver in re-analysis
+        updated = (
+            labels.join(prop, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("component"),
+                        F.coalesce(F.col("cand"), F.col("component")))
+                .alias("component"),
+            )
+            .localCheckpoint()
+        )
+        n_changed = (
+            updated.join(labels.withColumnRenamed("component", "__old"),
+                         "node")
+            .filter(F.col("component") != F.col("__old"))
+            .count()
+        )
+        labels = updated
+        if n_changed == 0:
+            break
+    return labels
+
+
 def reprioritize_frontier(
     frontier: DataFrame, edges: DataFrame,
     n_iter: int = 10, damping: float = 0.85,

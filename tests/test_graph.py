@@ -43,3 +43,20 @@ def test_reprioritize_frontier(spark):
     assert out[99] == 0.7                      # unranked unchanged
     assert out[1] > out[2]                     # rank order respected
     assert 0.0 <= min(out.values()) and max(out.values()) <= 1.0
+
+def test_connected_components_transitive(spark):
+    """Pairs a~b, b~c collapse into one component labeled min-id; disjoint
+    pairs stay separate; a 21-node path (worst-case diameter for plain
+    min-propagation) still converges to the single min label."""
+    from __spider_spark.operators.graph import connected_components
+    from pyspark.sql import functions as F  # noqa: F401
+    edges = spark.createDataFrame(
+        [(2, 3), (3, 1), (1, 2), (10, 11)], "src long, dst long")
+    out = {r.node: r.component
+           for r in connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(20, 40)], "src long, dst long")
+    outc = {r.node: r.component
+            for r in connected_components(chain).collect()}
+    assert len(outc) == 21 and set(outc.values()) == {20}
