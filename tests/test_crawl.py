@@ -189,6 +189,47 @@ def test_lakehouse_time_travel(spark, crawled):
     assert lake.versions()[-1] > v_before
 
 
+def test_everything_on_matches_sim(spark):
+    """Feature-interaction pin: robots + custom budgets + Bloom (forced)
+    + transient-failure retries + PageRank blend + inline curation +
+    auto-compaction, all enabled in ONE crawl — order and seen membership
+    must still match the simulator exactly (features must compose, not
+    just pass their individual tests)."""
+    import tempfile as _tf
+    from __spider_spark.sources.pages import canonical_url
+    flaky = {canonical_url(2, HOSTS): 1}
+    cfg = CrawlConfig(
+        default_budget=4, budgets=dict(BUDGETS), robots=dict(ROBOTS),
+        use_bloom=True, bloom_parts=4, bloom_bits_per_part=1 << 16,
+        bloom_min_seen=0, flaky=dict(flaky),
+        blend_pagerank_every=2, blend_iters=3, blend_weight=0.5,
+        curate=True, compact_every=2,
+    )
+    lake = Lakehouse(_tf.mkdtemp(prefix="lake_all_"))
+    run_crawl(spark, lake, generate_pages(spark, N, HOSTS),
+              make_seeds(spark, N, SEEDS, HOSTS), cfg, ROUNDS)
+    s = simulate_crawl(
+        _pages_dict(), seed_urls(N, SEEDS, HOSTS), ROUNDS,
+        default_budget=4, budgets=dict(BUDGETS), robots=dict(ROBOTS),
+        flaky=dict(flaky), blend_pagerank_every=2, blend_iters=3,
+        blend_weight=0.5,
+    )
+    res = lake.read(spark, "results")
+    got = [
+        [r.url_hash for r in res.filter(F.col("round") == k)
+         .orderBy("fetch_order").collect()]
+        for k in range(1, ROUNDS + 1)
+    ]
+    assert got == s.waves
+    assert {r.url_hash for r in lake.read(spark, "seen").collect()} \
+        == s.seen
+    # curation stamped alongside everything else
+    assert lake.read(spark, "results").filter(
+        (F.col("status") == 200) & F.col("lang_guess").isNull()
+    ).count() == 0
+    lake.destroy()
+
+
 def test_curate_stamps_match_and_order_unchanged(spark, sim):
     """curate=True (the production 100 TB shape) stamps lang/quality/
     token/fingerprint per fetched row in the crawl pass, without touching

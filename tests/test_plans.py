@@ -159,3 +159,29 @@ def test_aqe_skew_join_backstop_engages(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_curation_sampling_no_shuffle(spark, tmp_path):
+    """Scan-stage discipline for the curation filters: stratified
+    sampling touches a 10^10-row corpus with ZERO data shuffles (the
+    rate dim broadcasts; the hash filter evaluates at the scan), and
+    text normalization is a pure projection (no Exchange at all)."""
+    from __spider_spark.operators.curation import (
+        normalize_text, stratified_sample)
+    from pyspark.sql import functions as F
+    docs = spark.createDataFrame(
+        [(i, "lang%d" % (i % 3), "Some  Text %d" % i) for i in range(100)],
+        "doc_id long, lang string, text string")
+    p = str(tmp_path / "docs")
+    docs.write.parquet(p)
+    stored = spark.read.parquet(p)
+    plan = _plan(stratified_sample(stored, {"lang0": 0.5, "lang1": 1.0}))
+    assert "BroadcastExchange" in plan        # the rate dim
+    assert "Exchange hashpartitioning" not in plan  # corpus never shuffles
+    norm_plan = _plan(stored.select(
+        "doc_id", normalize_text(F.col("text")).alias("t")))
+    assert "Exchange" not in norm_plan
+    # column pruning: normalization reads only the text column
+    assert "ReadSchema" in norm_plan
+    read = norm_plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "lang" not in read

@@ -87,3 +87,34 @@ def test_stream_dedup_and_lakehouse_sink(spark):
         .select("url_hash").distinct().count() == N
     lake.destroy()
     lake2.destroy()
+
+def test_content_dedup_stream_bounded_state(spark, tmp_path):
+    """Exact content dedup in-stream: same text under different URLs
+    collapses to one row across micro-batches (within the watermark),
+    distinct texts all survive."""
+    import datetime as dt
+
+    from __spider_spark.streaming.rounds import content_dedup_stream
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "url string, warc_ts timestamp, text string"
+    d = tmp_path / "in"
+    d.mkdir()
+    spark.createDataFrame(
+        [("http://a.test/1", t0, "alpha body"),
+         ("http://a.test/2", t0, "beta body")], schema,
+    ).coalesce(1).write.parquet(str(d / "f1"))
+    spark.createDataFrame(
+        [("http://b.test/9", t0 + dt.timedelta(minutes=5), "alpha body"),
+         ("http://b.test/3", t0 + dt.timedelta(minutes=6), "gamma body")],
+        schema,
+    ).coalesce(1).write.parquet(str(d / "f2"))
+    stream = spark.readStream.schema(schema).parquet(str(d / "f*"))
+    q = (content_dedup_stream(stream, watermark="1 hour")
+         .writeStream.format("memory").queryName("cds")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    rows = spark.sql("select text, count(*) n from cds group by text") \
+        .collect()
+    q.stop()
+    got = {r.text: r.n for r in rows}
+    assert got == {"alpha body": 1, "beta body": 1, "gamma body": 1}
