@@ -158,20 +158,33 @@ class CrawlConfig:
 
 def _dedup_frontier(df: DataFrame) -> DataFrame:
     """Deterministic duplicate resolution on url_hash: keep
-    (attempts DESC, priority DESC, round ASC, parent_url ASC NULLS FIRST).
-    attempts ranks first so a rediscovered link can never reset a URL's
-    retry counter (which would un-bound the retry pyramid)."""
-    w = Window.partitionBy("url_hash").orderBy(
-        F.col("attempts").desc(),
-        F.col("priority").desc(),
-        F.col("round").asc(),
-        F.col("parent_url").asc_nulls_first(),
-        F.col("seed_index").asc_nulls_first(),
+    (attempts DESC, priority DESC, round ASC, parent_url ASC NULLS FIRST,
+    seed_index ASC NULLS FIRST). attempts ranks first so a rediscovered
+    link can never reset a URL's retry counter (which would un-bound the
+    retry pyramid).
+
+    Implemented as ``min_by`` over a lexicographic key struct, NOT a
+    row_number window: the aggregate gets map-side partial aggregation
+    (each input partition pre-collapses its duplicates before the
+    shuffle) and no sort — on a 10^8-row frontier the window form
+    shuffles and sorts every row. Null ordering is made explicit with
+    (is-not-null, coalesce) pairs so the key mirrors the simulator's
+    tuple exactly (reference_sim._frontier_entry_key)."""
+    key = F.struct(
+        (-F.col("attempts")).alias("k1"),
+        (-F.col("priority")).alias("k2"),
+        F.col("round").alias("k3"),
+        F.col("parent_url").isNotNull().cast("int").alias("k4"),
+        F.coalesce(F.col("parent_url"), F.lit("")).alias("k5"),
+        F.col("seed_index").isNull().cast("int").alias("k6"),
+        F.coalesce(F.col("seed_index"), F.lit(0)).alias("k7"),
     )
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        df.groupBy("url_hash")
+        .agg(F.min_by(F.struct(*[c for c in FRONTIER_COLS
+                                 if c != "url_hash"]), key).alias("__r"))
+        .select("url_hash", "__r.*")
+        .select(*FRONTIER_COLS)
     )
 
 
