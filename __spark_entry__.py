@@ -65,8 +65,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-# per-process cache of the q23 bucket-partitioned ANN index, keyed by sf dir
-_LSH_STORES: dict[str, str] = {}
+def _index_store(sf_dir: str, name: str) -> tuple[str, bool]:
+    """Deterministic on-disk home for persisted ANN indexes (q23 LSH
+    buckets, q38 IVF assignment), keyed by the source dir — the local
+    analogue of an index table living next to its base table under the
+    lakehouse root. Repeated driver runs REUSE the store (the old
+    mkdtemp-per-process scheme leaked a /tmp dir per run); a missing
+    ``_SUCCESS`` marker means a torn write, so the store is rebuilt.
+    Returns (path, already_built)."""
+    import hashlib
+    import tempfile
+
+    key = hashlib.md5(str(Path(sf_dir).resolve()).encode()).hexdigest()[:12]
+    root = Path(tempfile.gettempdir()) / "spider_spark_indexes" / key / name
+    return str(root), (root / "_SUCCESS").exists()
 
 
 # --------------------------------------------------------------------------
@@ -368,13 +380,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qv = [float(x) for x in
               emb.filter(F.col("vec_id") == 0).first()["embedding"]]
         bcol = lsh_bucket_col_name(6, 42)
-        store = _LSH_STORES.get(sf)
-        if store is None:
-            import tempfile
-            store = tempfile.mkdtemp(prefix="lsh_index_") + "/emb_by_bucket"
+        store, built = _index_store(sf, "emb_by_lsh_bucket")
+        if not built:
             lsh_bucketize(emb, dim=len(qv), n_planes=6).write \
-                .partitionBy(bcol).parquet(store)
-            _LSH_STORES[sf] = store
+                .mode("overwrite").partitionBy(bcol).parquet(store)
         indexed = spark.read.parquet(store)
         return lsh_bucket_topk(indexed, qv, k=10, n_planes=6, exclude_id=0,
                                multiprobe=2, bucket_col=bcol)
@@ -577,15 +586,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["q37_bpe_token_count"] = q37
 
-    # IVF-style ANN (coarse quantize -> probe nearest clusters). Full-probe
-    # equals brute force (pytest-pinned); here a 2-of-8 probe — approximate
-    # by design, so rows-only check (no SQL twin)
+    # IVF ANN served from a PERSISTED cluster-partitioned index: quantizer
+    # is k-means|| init + Lloyd (ivf_centroids_kmeans), assignment computed
+    # ONCE at build and written partitionBy(ivf_cluster_k8_i5), probes are
+    # partition-pruned scans — the q23 treatment, 100 TB shape. Full-probe
+    # equals brute force (pytest-pinned + q43); here a 2-of-8 probe —
+    # approximate by design, so rows-only check (no SQL twin)
     def q38(spark, sf):
-        from __spider_spark.operators.similarity import ivf_topk
+        from __spider_spark.operators.similarity import (
+            ivf_serve_topk,
+            ivf_write_index,
+        )
         emb = _t(spark, sf, "embeddings")
         qv = [float(x) for x in
               emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-        return ivf_topk(emb, qv, k=10, n_clusters=8, n_probe=2, exclude_id=0)
+        store, built = _index_store(sf, "emb_by_ivf_cluster")
+        if not built:
+            ivf_write_index(emb, store, n_clusters=8, n_iter=5)
+        return ivf_serve_topk(spark, store, qv, k=10, n_probe=2,
+                              exclude_id=0)
     q["q38_ann_ivf"] = q38
 
     # end-to-end near-dedup: LSH candidates -> exact-Jaccard verify ->

@@ -141,7 +141,9 @@ def reprioritize_frontier(
     """Blend link-structure importance into frontier priority:
     priority' = (1-w)*priority + w*rank/max_rank. Unranked URLs keep their
     discovery priority."""
-    ranks = pagerank(edges, n_iter, damping)
+    # materialize the ranks once: the max_rank action below and the blend
+    # join would otherwise each re-run the full n_iter PageRank chain
+    ranks = pagerank(edges, n_iter, damping).localCheckpoint()
     max_rank = ranks.agg(F.max("rank")).first()[0] or 1.0
     r = ranks.select(F.col("node").alias("url_hash"),
                      (F.col("rank") / F.lit(max_rank)).alias("__nr"))

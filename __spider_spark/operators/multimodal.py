@@ -70,7 +70,14 @@ def encode_bmp(width: int, height: int, pixel) -> bytes:
 
 def decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
     """Real 24-bit BMP decode: (width, height, feature[8]) where feature =
-    (mean R, mean G, mean B, mean luma, luma of 4 quadrants), all in [0,1]."""
+    (mean R, mean G, mean B, mean luma, luma of 4 quadrants), all in [0,1].
+
+    Vectorized: one ``np.frombuffer`` view + a stride reshape; channel and
+    quadrant sums are exact int64 reductions (so the result is independent
+    of summation order), luma means are 3 fp ops on those exact sums. A 4K
+    frame is a handful of numpy reductions, not ~8M Python iterations."""
+    import numpy as np
+
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     data_offset = struct.unpack_from("<I", payload, 10)[0]
@@ -81,30 +88,36 @@ def decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
     if bpp != 24 or compression != 0:
         raise ValueError("only 24-bit uncompressed BMP supported")
     height = abs(height_raw)
-    bottom_up = height_raw > 0
     row_size = (width * 3 + 3) & ~3
-    sums = [0.0, 0.0, 0.0]
-    quad = [0.0, 0.0, 0.0, 0.0]
-    quad_n = [0, 0, 0, 0]
-    for row_i in range(height):
-        y = (height - 1 - row_i) if bottom_up else row_i
-        base = data_offset + row_i * row_size
-        for x in range(width):
-            b = payload[base + 3 * x]
-            g = payload[base + 3 * x + 1]
-            r = payload[base + 3 * x + 2]
-            sums[0] += r
-            sums[1] += g
-            sums[2] += b
-            luma = 0.299 * r + 0.587 * g + 0.114 * b
-            qi = (2 if y >= (height + 1) // 2 else 0) + (
-                1 if x >= (width + 1) // 2 else 0)
-            quad[qi] += luma
-            quad_n[qi] += 1
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=height * row_size, offset=data_offset
+    ).reshape(height, row_size)
+    # strip row padding, split interleaved BGR planes, flip bottom-up
+    # storage into top-down image coordinates
+    img = rows[:, : width * 3].reshape(height, width, 3)
+    if height_raw > 0:
+        img = img[::-1]
+    b = img[:, :, 0].astype(np.int64)
+    g = img[:, :, 1].astype(np.int64)
+    r = img[:, :, 2].astype(np.int64)
+
+    def luma_of(sr: int, sg: int, sb: int) -> float:
+        return 0.299 * sr + 0.587 * sg + 0.114 * sb
+
     n = float(width * height)
-    feat = [s / n / 255.0 for s in sums]
-    feat.append(sum(quad) / n / 255.0)
-    feat += [(q / qn / 255.0) if qn else 0.0 for q, qn in zip(quad, quad_n)]
+    feat = [r.sum() / n / 255.0, g.sum() / n / 255.0, b.sum() / n / 255.0,
+            luma_of(int(r.sum()), int(g.sum()), int(b.sum())) / n / 255.0]
+    ys, xs = (height + 1) // 2, (width + 1) // 2
+    for y_slice in (slice(0, ys), slice(ys, height)):
+        for x_slice in (slice(0, xs), slice(xs, width)):
+            qn = (y_slice.stop - y_slice.start) * (x_slice.stop - x_slice.start)
+            if qn:
+                ql = luma_of(int(r[y_slice, x_slice].sum()),
+                             int(g[y_slice, x_slice].sum()),
+                             int(b[y_slice, x_slice].sum()))
+                feat.append(ql / qn / 255.0)
+            else:
+                feat.append(0.0)
     return width, height, [float(v) for v in feat]
 
 

@@ -159,7 +159,7 @@ class CrawlConfig:
 def _dedup_frontier(df: DataFrame) -> DataFrame:
     """Deterministic duplicate resolution on url_hash: keep
     (attempts DESC, priority DESC, round ASC, parent_url ASC NULLS FIRST,
-    seed_index ASC NULLS FIRST). attempts ranks first so a rediscovered
+    seed_index ASC NULLS LAST). attempts ranks first so a rediscovered
     link can never reset a URL's retry counter (which would un-bound the
     retry pyramid).
 
@@ -420,6 +420,10 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
     # discovered links pass the alias dim too — a link to an aliased
     # mirror must collapse to the canonical host's identity
     discovered = apply_host_aliases(discovered, alias_df)
+    # cached: discovery (link resolve + canonicalize + hash, the round's
+    # other Arrow-UDF pass) feeds the distinct-discovered metric, the
+    # frontier merge, and (blend mode) the edges append — without the
+    # cache each consumer re-ran the Python resolve/hash work
     discovered = (
         discovered
         .withColumn("url_hash", url_hash_col(F.col("url")))
@@ -428,6 +432,7 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
         .withColumn("round", F.lit(k + 1))
         .withColumn("attempts", F.lit(0))
         .select(*FRONTIER_COLS)
+        .cache()
     )
 
     # 7. state transition: terminal outcomes (fetched / 404 / gave-up /
@@ -465,38 +470,26 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
     #    counts and P small Bloom bitmaps ever reach the driver, so waves of
     #    any size scale (never collect() wave rows).
     t0 = _prof("plan building", t0)
-    # ONE metrics job: outcome counts + retried + distinct-discovered as a
-    # union of aggregates over the cached extract (3 separate actions
-    # previously -> 2 extra job-scheduling round-trips per round). The
-    # newly-seen groups also carry a BOUNDED hash list (slice to max+1 so
-    # truncation is detectable) — when complete, those keys fold into the
-    # driver Bloom without the separate distributed delta job.
-    inline_cap = max(int(cfg.bloom_inline_max), 0)
-    empty_hashes = F.lit(None).cast("array<bigint>").alias("hashes")
+    # ONE counts-only metrics job: outcome counts + retried + distinct-
+    # discovered as a union of aggregates over the cached extract/discovery
+    # (3 separate actions previously -> 2 extra job-scheduling round-trips
+    # per round). Counts stay counts — an earlier form piggybacked a
+    # sliced collect_list of newly-seen hashes here, which bounded the
+    # DRIVER payload but not the aggregation buffers: every hash of the
+    # round funneled into <=4 reduce tasks (one per outcome group) before
+    # truncation was detectable. The Bloom fold below instead gates on the
+    # count this job already produced and runs its own bounded collect.
     metric_rows = (
-        newly_seen.groupBy("outcome").agg(
-            F.count("*").alias("n"),
-            F.slice(F.collect_list("url_hash"), 1, inline_cap + 1)
-            .alias("hashes"))
+        newly_seen.groupBy("outcome").agg(F.count("*").alias("n"))
         .unionByName(
             retries.agg(F.count("*").alias("n"))
-            .select(F.lit("retried_503").alias("outcome"), "n",
-                    empty_hashes))
+            .select(F.lit("retried_503").alias("outcome"), "n"))
         .unionByName(
             discovered.agg(
                 F.count_distinct("url_hash").alias("n"))
-            .select(F.lit("discovered").alias("outcome"), "n",
-                    empty_hashes))
+            .select(F.lit("discovered").alias("outcome"), "n"))
     ).collect()
     outcome_counts = {r["outcome"]: r["n"] for r in metric_rows}
-    inline_hashes: list[int] | None = []
-    for r in metric_rows:
-        if r["hashes"] is None:
-            continue
-        if len(r["hashes"]) != r["n"]:  # truncated: round too big to inline
-            inline_hashes = None
-            break
-        inline_hashes.extend(r["hashes"])
     t0 = _prof("metrics counts (materializes wave+extract)", t0)
     n_ok = outcome_counts.get("fetched", 0)
     n_404 = outcome_counts.get("fetched_404", 0)
@@ -516,6 +509,7 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
     if metrics_row["wave"] == 0 and n_blocked == 0 and n_discovered == 0:
         flagged.unpersist()
         extracted.unpersist()
+        discovered.unpersist()
         return None  # frontier exhausted; nothing to commit
 
     appends = {"seen": newly_seen, "results": results, "errors": errors,
@@ -532,10 +526,28 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
     if cfg.blend_pagerank_every:
         # discovered-link edge relation for the PageRank blend: one row per
         # resolved outlink occurrence (duplicates carry out-degree weight)
-        appends["edges"] = discovered.select(
+        round_edges = discovered.select(
             url_hash_col(F.col("parent_url")).alias("src"),
             F.col("url_hash").alias("dst"),
         )
+        appends["edges"] = round_edges
+        if k % cfg.blend_pagerank_every == 0:
+            # PageRank blend applied INSIDE this round's atomic snapshot
+            # (previously a second commit after the round's — a crash in
+            # that window resumed with an unblended frontier, silently
+            # diverging from an uninterrupted run's crawl order). The
+            # blended frontier and the round's appends now publish in ONE
+            # snapshot, so resume-determinism holds through blend rounds.
+            # The simulator mirrors the same arithmetic (10-dp rounding
+            # pins parallel-sum noise), so order equivalence still holds.
+            prior_edges = lake.read(spark, "edges")
+            if prior_edges is not None or n_discovered > 0:
+                all_edges = (round_edges if prior_edges is None
+                             else prior_edges.unionByName(round_edges))
+                from ..operators.graph import reprioritize_frontier
+                new_frontier = reprioritize_frontier(
+                    new_frontier, all_edges, cfg.blend_iters,
+                    cfg.blend_damping, cfg.blend_weight)
     if detail_idx is not None and n_ok > 0:
         # S6 keyed second-stage fetch: detail enrichment for this round's
         # successful listing fetches, committed in the SAME atomic snapshot
@@ -551,11 +563,14 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
     t0 = _prof("commit (5 table writes)", t0)
     if bloom is not None:
         n_new_seen = n_ok + n_404 + n_gave_up + n_blocked
-        if inline_hashes is not None:
-            # common case: the budget-bounded round's keys came back on
-            # the metrics job — fold them in driver-side, zero extra jobs
-            bloom.update(inline_hashes)
-            t0 = _prof("bloom inline fold", t0)
+        if n_new_seen <= max(int(cfg.bloom_inline_max), 0):
+            # common case (waves are budget-bounded): the COUNT from the
+            # metrics job proves this collect is small BEFORE it runs —
+            # one tiny job over the cached extract, <= bloom_inline_max
+            # hashes to the driver, folded with no distributed bitmap job
+            bloom.update([r["url_hash"] for r in
+                          newly_seen.select("url_hash").collect()])
+            t0 = _prof("bloom inline collect+fold", t0)
         else:
             # executor-built bitmap delta over this round's newly-seen
             # keys, OR-merged into the driver filter (no row collect)
@@ -566,6 +581,7 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
             t0 = _prof("bloom delta build+merge", t0)
     flagged.unpersist()
     extracted.unpersist()
+    discovered.unpersist()
     return metrics_row
 
 
@@ -631,18 +647,8 @@ def run_crawl(spark: SparkSession, lake: Lakehouse, pages: DataFrame,
             break
         out.append(row)
         k = lake.latest_round()
-        if (cfg.blend_pagerank_every and k > 0
-                and k % cfg.blend_pagerank_every == 0):
-            # PageRank blend over the accumulated discovery edges; the
-            # simulator mirrors the same arithmetic (10-dp rounding pins
-            # parallel-sum noise), so crawl-order equivalence still holds
-            from ..operators.graph import reprioritize_frontier
-            fr = lake.read(spark, "frontier")
-            edges = lake.read(spark, "edges")
-            if fr is not None and edges is not None:
-                lake.commit(k, replace={"frontier": reprioritize_frontier(
-                    fr, edges, cfg.blend_iters, cfg.blend_damping,
-                    cfg.blend_weight)})
+        # (PageRank blend happens INSIDE run_round's atomic commit —
+        # see the blend block there for the crash-window rationale.)
         if cfg.compact_every and k > 0 and k % cfg.compact_every == 0:
             # ONE atomic maintenance commit over every append-heavy table:
             # readers keep the old snapshot until the manifest rename,

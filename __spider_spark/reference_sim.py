@@ -50,7 +50,9 @@ class SimResult:
 def _frontier_entry_key(e: dict) -> tuple:
     """Duplicate-resolution order: attempts DESC (retry counter is never
     reset by rediscovery), priority DESC, round ASC,
-    parent_url ASC NULLS FIRST, seed_index ASC NULLS FIRST."""
+    parent_url ASC NULLS FIRST, seed_index ASC NULLS LAST.
+    (seed_index nullity rarely decides: a null seed_index implies a
+    non-null parent_url, which already sorts later at the k4/k5 slot.)"""
     return (
         -e.get("attempts", 0),
         -e["priority"],

@@ -401,3 +401,39 @@ def test_tfidf_hand_case(spark):
     # 'filler' (tf=2, df=2 -> 2*ln(4/3)=0.575)
     assert out[(1, 1)][0] == "unique"
     assert out[(1, 2)][0] == "filler"
+
+
+def test_ivf_persisted_index_prunes_scan(spark, sf_dir, tmp_path):
+    """The IVF serving path (q38 shape): quantizer trained once
+    (k-means||+Lloyd), assignment persisted partitionBy(ivf_cluster_k8_i5),
+    probes served as partition-pruned scans — results identical to the
+    in-memory path with the same centroids, the probe filter reaches the
+    scan as a PartitionFilter, and a torn index raises."""
+    from __spider_spark.operators.similarity import (
+        ivf_centroids_kmeans, ivf_serve_topk, ivf_topk, ivf_write_index)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = [float(x) for x in
+             emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    store = str(tmp_path / "emb_ivf")
+    cents = ivf_write_index(emb, store, n_clusters=8, n_iter=5)
+    got = ivf_serve_topk(spark, store, query, k=10, n_probe=2, exclude_id=0)
+    want = ivf_topk(emb, query, k=10, n_clusters=8, n_probe=2,
+                    exclude_id=0, centroids=cents)
+    assert [tuple(r) for r in got.collect()] == \
+        [tuple(r) for r in want.collect()]
+    # the probe filter must reach the partitioned scan (no full-table read)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "ivf_cluster_k8_i5" in plan.split("PartitionFilters")[1][:400]
+    # build is byte-deterministic (rebuild == original quantizer)
+    assert cents == ivf_centroids_kmeans(emb, n_clusters=8, n_iter=5)
+    # a torn index (centroid table disagreeing with the stamped k) raises
+    import pytest as _pytest
+    bad = str(tmp_path / "bad")
+    spark.read.parquet(store + "/vectors").write.parquet(bad + "/vectors")
+    spark.createDataFrame(
+        [(i, [0.0, 1.0]) for i in range(4)],
+        "cluster int, centroid array<double>",
+    ).write.parquet(bad + "/centroids")
+    with _pytest.raises(ValueError, match="torn or mixed"):
+        ivf_serve_topk(spark, bad, query)
