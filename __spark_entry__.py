@@ -837,6 +837,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return connected_components(edges)
     q["q52_dup_components"] = q52
 
+    # SimHash near-dup pairs: bit-sampling bands over q19's simhash ->
+    # band equi-join candidates -> bit_count(xor) Hamming verify, all
+    # Column exprs. max_hamming=3 < n_bands=4 keeps the band pruning
+    # LOSSLESS (pigeonhole: 3 flipped bits can break at most 3 of 4
+    # bands), so the brute-force all-pairs oracle computes the identical
+    # relation — the driver's hash match is a proof of lossless recall.
+    def q53(spark, sf):
+        from __spider_spark.operators.dedup import simhash_pairs
+        sim = simhash(_t(spark, sf, "documents"), "text", "doc_id")
+        return simhash_pairs(sim, n_bands=4, max_hamming=3)
+    q["q53_simhash_pairs"] = q53
+
     return q
 
 
@@ -1411,6 +1423,19 @@ def oracle_sql() -> dict[str, str]:
         FROM sh JOIN ev USING (shash)
         WHERE NOT sh.is_eval
         GROUP BY sh.doc_id
+    """
+
+    # q53: the engine computes the pair relation via banded bit-sampling
+    # LSH; because max_hamming(3) < n_bands(4) that pruning is lossless
+    # (pigeonhole), so the oracle can state the SEMANTICS directly as a
+    # brute-force all-pairs Hamming join — equality proves the LSH path
+    # drops nothing.
+    o["q53_simhash_pairs"] = f"""
+        WITH sh AS ({o["q19_simhash"]})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """
 
     o["q41_retry_audit"] = """

@@ -9,6 +9,8 @@ must also dedup *content*. Four operators, all shuffle-conscious:
                           band keys, never O(n²))
   * ngram_jaccard_pairs— exact Jaccard via shingle equi-join + count ratio
   * simhash            — 60-bit SimHash via per-bit majority vote
+  * simhash_pairs      — bit-sampling LSH bands over simhash + lossless
+                          bit_count(xor) Hamming verify (pigeonhole regime)
 
 Everything is built from pyspark.sql.functions (no Python in the hot path);
 the hash is the md5-prefix ``hash60`` so the DuckDB oracle can reproduce
@@ -17,7 +19,8 @@ values bit-for-bit (see functions/textstats.py).
 Scale notes: MinHash/LSH is the 100 TB path — the shingle explosion is
 map-side, signatures are one groupBy(doc), candidate pairs are an equi-join
 on (band_idx, band_hash) whose fan-out is bounded by collision-group sizes;
-a skewed band (boilerplate docs) is handled by AQE skew-join splitting.
+a skewed band (boilerplate docs) is handled by AQE skew-join splitting,
+plan-pinned by tests/test_dedup_scale.py::test_lsh_band_join_skew_split.
 Exact Jaccard is reserved for verifying candidate pairs, never all pairs.
 """
 
@@ -210,6 +213,58 @@ def near_dedup_keep(
     losers = dup_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return df.select(F.col(id_col).alias("doc_id")) \
              .join(losers, "doc_id", "left_anti")
+
+
+def simhash_pairs(
+    sim_df: DataFrame, n_bands: int = 4, max_hamming: int = 3,
+    n_bits: int = 60,
+) -> DataFrame:
+    """SimHash near-dup pairs via bit-sampling LSH: split each simhash
+    into ``n_bands`` contiguous bit-bands; docs sharing ANY band become
+    candidates (equi-join on (band, band_key) — same shuffle shape as
+    :func:`lsh_candidate_pairs`, never O(n²)); verify with
+    ``bit_count(a XOR b) <= max_hamming`` — pure Column exprs, no UDF.
+    Input: (doc_id, simhash) from :func:`simhash`.
+    Output: (doc_a, doc_b, hamming) with doc_a < doc_b.
+
+    Pigeonhole guarantee: ``max_hamming`` differing bits can touch at most
+    ``max_hamming`` bands, so with ``max_hamming < n_bands`` every
+    qualifying pair shares at least one intact band — the band pruning is
+    LOSSLESS, and a brute-force all-pairs Hamming join computes the
+    identical relation (which is exactly what the DuckDB oracle does;
+    hash-equality of the two is a proof of lossless recall). A laxer
+    threshold (max_hamming >= n_bands) turns this into the standard
+    approximate trade-off; the default stays in the exact regime.
+    """
+    if n_bits % n_bands:
+        raise ValueError(f"n_bits={n_bits} not divisible by n_bands={n_bands}")
+    band_bits = n_bits // n_bands
+    mask = (1 << band_bits) - 1
+    bands = sim_df.select(
+        F.col("doc_id"), F.col("simhash"),
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("simhash"), b * band_bits)
+            .bitwiseAND(F.lit(mask)).cast("long")
+            for b in range(n_bands)
+        ])).alias("band", "band_key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("__sa"),
+                F.col("b.simhash").alias("__sb"))
+        .distinct()
+    )
+    ham = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str,
