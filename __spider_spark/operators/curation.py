@@ -39,7 +39,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.textstats import hash60
-from .dedup import shingles
+from .dedup import shingles_from
 
 KNUTH_MULT = 2_654_435_761
 SAMPLE_MOD = 1 << 32
@@ -138,9 +138,15 @@ def contamination(
     distinct shingles also present in any eval doc. Downstream use:
     anti-join the corpus against this to decontaminate before training.
     """
+    from ..functions.textstats import tokens
     sh = (
+        # tokens projected into their own column BEFORE the shingle
+        # explode — see shingles_from: inlining the split expression into
+        # the transform lambda re-splits the text per k-gram position
         df.select(F.col(id_col), is_eval.alias("__eval"),
-                  F.explode(shingles(F.col(text_col), k)).alias("__s"))
+                  tokens(F.col(text_col)).alias("__toks"))
+        .select(F.col(id_col), F.col("__eval"),
+                F.explode(shingles_from(F.col("__toks"), k)).alias("__s"))
         .select(id_col, "__eval", hash60(F.col("__s")).alias("__sh"))
         .distinct()
     )

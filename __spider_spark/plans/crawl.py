@@ -479,6 +479,14 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
     # round funneled into <=4 reduce tasks (one per outcome group) before
     # truncation was detectable. The Bloom fold below instead gates on the
     # count this job already produced and runs its own bounded collect.
+    # materialize the two caches under their own phase label: this is the
+    # round's REAL compute (fetch join + fused extract UDF + link resolve/
+    # hash), previously billed to "metrics counts" because the counts job
+    # happened to be the first action — which read as if the metrics were
+    # expensive. The aggregates below now measurably cost ~nothing.
+    extracted.count()
+    discovered.count()
+    t0 = _prof("wave+discovery materialize (fetch, extract, links)", t0)
     metric_rows = (
         newly_seen.groupBy("outcome").agg(F.count("*").alias("n"))
         .unionByName(
@@ -490,7 +498,7 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
             .select(F.lit("discovered").alias("outcome"), "n"))
     ).collect()
     outcome_counts = {r["outcome"]: r["n"] for r in metric_rows}
-    t0 = _prof("metrics counts (materializes wave+extract)", t0)
+    t0 = _prof("metrics counts", t0)
     n_ok = outcome_counts.get("fetched", 0)
     n_404 = outcome_counts.get("fetched_404", 0)
     n_gave_up = outcome_counts.get("failed_gave_up", 0)

@@ -50,8 +50,17 @@ def _force(df) -> None:
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     qs = entrymod.queries()
     # warmup: JVM/codegen/parquet-listing startup should not be billed to
-    # whichever query happens to run first
+    # whichever query happens to run first — and neither should the
+    # Python UDF worker daemons (~1.5s/worker fork+pandas import), which
+    # the crawl's first round would otherwise pay. Same billing rule the
+    # scaling bench applies (BENCH.md round-2: workers warmed pre-timing).
     _force(qs["q11_group_rollup"](spark, sf_dir))
+    from pyspark.sql import functions as F
+
+    from __spider_spark.functions.urls import canonicalize_url
+    _force(spark.range(0, 4096).repartition(64)
+           .select(canonicalize_url(
+               F.concat(F.lit("http://warm.test/"), F.col("id")))))
     times: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()

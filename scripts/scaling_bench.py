@@ -4,12 +4,28 @@ Pre-materializes one page store, then runs the identical crawl job in fresh
 subprocesses at local[N] and local[4N]; reports throughput at both and
 scaling efficiency = (thr_4N / thr_N) / 4. Appends results to BENCH.md.
 
-Usage: python scripts/scaling_bench.py [N=8] [pages=120000] [seeds=8000] [rounds=2]
+Round-4 protocol hardening (VERDICT r3 #4 / ADVICE r3): the round-3 run
+selected best-of-3 per level with a 2.4x intra-level spread, so the
+headline hinged on one clean pair. This version:
+
+  * runs trials as INTERLEAVED back-to-back (N, 4N) PAIRS, so both levels
+    of a pair sample the same few-minute window of hypervisor weather;
+  * computes a per-pair efficiency and reports the MEDIAN pair and the
+    best pair side by side (the criterion line cites both);
+  * MEASURES hypervisor interference per trial instead of assuming it:
+    steal% from /proc/stat (vCPU time the host gave to a neighbor) and
+    other-process CPU jiffies — a noisy trial is now identifiable from
+    the artifact itself.
+
+Usage: python scripts/scaling_bench.py [N=2] [pages=300000] [seeds=100000]
+       [rounds=1] [weight=10] [mode=local]
+Env:   SCALE_TMPFS=1 SCALE_TASKSET=1 SCALE_TRIALS=k SCALE_PARTS=...
 """
 
 from __future__ import annotations
 
 import json
+import statistics
 import subprocess
 import sys
 import tempfile
@@ -18,6 +34,17 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
+
+
+def _cpu_jiffies() -> tuple[int, int]:
+    """(busy_jiffies, steal_jiffies) across all cpus from /proc/stat."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    # user nice system idle iowait irq softirq steal ...
+    busy = vals[0] + vals[1] + vals[2] + vals[5] + vals[6]
+    steal = vals[7] if len(vals) > 7 else 0
+    return busy, steal
 
 
 def main() -> None:
@@ -34,10 +61,10 @@ def main() -> None:
     # SCALE_TMPFS=1: stage input, lakehouse, and shuffle dirs on /dev/shm
     # so the single shared virtio disk can't masquerade as a serial
     # fraction of the job (a real cluster's N nodes bring N disk arrays)
-    import os as _os  # noqa: F401 (used below for env + taskset flags)
+    import os as _os
     scratch = None
     if _os.environ.get("SCALE_TMPFS") == "1":
-        scratch = tempfile.mkdtemp(prefix="scale_r3_", dir="/dev/shm")
+        scratch = tempfile.mkdtemp(prefix="scale_r4_", dir="/dev/shm")
         _os.environ["SCALE_LOCAL_DIR"] = scratch
     pages_path = tempfile.mkdtemp(prefix="scale_pages_",
                                   dir=scratch) + "/pages"
@@ -56,45 +83,66 @@ def main() -> None:
     # Without it, local[N] with python UDFs consumes up to ~2N cores
     # (N JVM + N python workers), so the low-N baseline free-rides on
     # unconfined CPUs and the measured ratio understates true scaling.
-    # SCALE_TRIALS=k: best-of-k per level — noise on this shared-
-    # hypervisor box is strictly additive (steal/contention only ever
-    # slows a run), so max throughput per level is the least-interfered
-    # estimate of each level's capability.
     taskset_on = _os.environ.get("SCALE_TASKSET") == "1"
-    trials = int(_os.environ.get("SCALE_TRIALS", "1"))
-    results = []
-    for cores in (n, 4 * n):
-        best = None
-        for t in range(trials):
-            cmd = [sys.executable, str(REPO / "scripts/scaling_job.py"),
-                   str(cores), pages_path, str(n_pages), str(n_seeds),
-                   str(rounds), mode]
-            if taskset_on:
-                # affinity is inherited by forked executor JVMs and python
-                # workers, so this confines the whole tree in cluster mode
-                # too (and JDK 17 sizes GC pools from the mask)
-                cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-            out = subprocess.run(
-                cmd,
-                capture_output=True, text=True, check=True, cwd=str(REPO),
-                env={**_os.environ,
-                     "SPARK_DRIVER_MEM": "8g" if mode == "cluster" else "32g",
-                     "PYSPARK_PYTHON": sys.executable},
-            )
-            line = out.stdout.strip().splitlines()[-1]
-            r = json.loads(line)
-            print(f"trial {t}: {line}")
-            if best is None or r["urls_per_sec"] > best["urls_per_sec"]:
-                best = r
-        results.append(best)
+    trials = int(_os.environ.get("SCALE_TRIALS", "5"))
 
-    thr_n, thr_4n = results[0]["urls_per_sec"], results[1]["urls_per_sec"]
-    eff = round(thr_4n / thr_n / 4.0, 3)
-    speedup = round(thr_4n / thr_n, 2)
+    def run_one(cores: int) -> dict:
+        cmd = [sys.executable, str(REPO / "scripts/scaling_job.py"),
+               str(cores), pages_path, str(n_pages), str(n_seeds),
+               str(rounds), mode]
+        if taskset_on:
+            # affinity is inherited by forked executor JVMs and python
+            # workers, so this confines the whole tree in cluster mode
+            # too (and JDK 17 sizes GC pools from the mask)
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        import time
+        b0, s0 = _cpu_jiffies()
+        t0 = time.perf_counter()
+        out = subprocess.run(
+            cmd,
+            capture_output=True, text=True, check=True, cwd=str(REPO),
+            env={**_os.environ,
+                 "SPARK_DRIVER_MEM": "8g" if mode == "cluster" else "32g",
+                 "PYSPARK_PYTHON": sys.executable},
+        )
+        wall = time.perf_counter() - t0
+        b1, s1 = _cpu_jiffies()
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        # steal% of the box's total cpu-time during this trial window —
+        # the measured hypervisor-neighbor interference (not an assumption)
+        import os
+        ncpu = os.cpu_count() or 32
+        r["steal_pct"] = round(100.0 * (s1 - s0) / (wall * 100.0 * ncpu), 2)
+        return r
+
+    pairs: list[tuple[dict, dict]] = []
+    for t in range(trials):
+        lo = run_one(n)
+        hi = run_one(4 * n)
+        eff = round(hi["urls_per_sec"] / lo["urls_per_sec"] / 4.0, 3)
+        print(f"pair {t}: N={lo['urls_per_sec']}/s "
+              f"(steal {lo['steal_pct']}%), "
+              f"4N={hi['urls_per_sec']}/s (steal {hi['steal_pct']}%), "
+              f"eff={eff}", flush=True)
+        pairs.append((lo, hi))
+
+    def eff_of(p: tuple[dict, dict]) -> float:
+        return round(p[1]["urls_per_sec"] / p[0]["urls_per_sec"] / 4.0, 3)
+
+    effs = sorted(eff_of(p) for p in pairs)
+    med_eff = round(statistics.median(effs), 3)
+    best_pair = max(pairs, key=eff_of)
+    med_lo = round(statistics.median(p[0]["urls_per_sec"] for p in pairs), 1)
+    med_hi = round(statistics.median(p[1]["urls_per_sec"] for p in pairs), 1)
     summary = {
         "n_cores": n, "n4_cores": 4 * n,
-        "thr_n": thr_n, "thr_4n": thr_4n,
-        "speedup": speedup, "scaling_efficiency": eff,
+        "pairs": [
+            {"thr_n": p[0]["urls_per_sec"], "steal_n": p[0]["steal_pct"],
+             "thr_4n": p[1]["urls_per_sec"], "steal_4n": p[1]["steal_pct"],
+             "eff": eff_of(p)} for p in pairs],
+        "median_eff": med_eff,
+        "median_thr_n": med_lo, "median_thr_4n": med_hi,
+        "best_pair_eff": eff_of(best_pair),
         "pages": n_pages, "seeds": n_seeds, "rounds": rounds,
     }
     print(json.dumps(summary))
@@ -105,31 +153,35 @@ def main() -> None:
         label_4n = f"local-cluster[{max(n, 1)}×4cores]"
     else:
         label_n, label_4n = f"local[{n}]", f"local[{4 * n}]"
-    tmpfs_note = (
-        "\nInput store, lakehouse, and spark.local.dir on tmpfs (/dev/shm) —"
-        "\nshared-disk confound removed." if scratch else "")
+    notes = ""
+    if scratch:
+        notes += ("\nInput store, lakehouse, and spark.local.dir on tmpfs "
+                  "(/dev/shm) — shared-disk confound removed.")
     if taskset_on:
-        tmpfs_note += (
-            "\nEach level taskset-confined to exactly its core count "
-            "(cgroup analogue); python UDF workers included.")
-    if trials > 1:
-        tmpfs_note += (
-            f"\nBest of {trials} trials per level (hypervisor noise is "
-            "strictly additive).")
+        notes += ("\nEach level taskset-confined to exactly its core count "
+                  "(cgroup analogue); python UDF workers included.")
+    notes += (f"\n{trials} interleaved back-to-back (N, 4N) pairs; "
+              "per-trial hypervisor steal%% measured from /proc/stat.")
+    rows = "\n".join(
+        f"| {t} | {p[0]['urls_per_sec']} | {p[0]['steal_pct']}% "
+        f"| {p[1]['urls_per_sec']} | {p[1]['steal_pct']}% | {eff_of(p)} |"
+        for t, p in enumerate(pairs))
     block = f"""
-## Scaling run {stamp} (mode={mode}{", tmpfs" if scratch else ""}{", taskset" if taskset_on else ""})
+## Scaling run {stamp} (mode={mode}{", tmpfs" if scratch else ""}{", taskset" if taskset_on else ""}, paired)
 
 Same crawl job (pages={n_pages}, page weight={weight}, seeds={n_seeds},
-rounds={rounds}, budget=per-host unlimited-equivalent) on identical input
-at two parallelism levels (sandbox substitution for N vs 4N executors):{tmpfs_note}
+rounds={rounds}) on identical input at two parallelism levels
+({label_n} vs {label_4n} — sandbox substitution for N vs 4N executors),
+run as interleaved back-to-back pairs so both levels of a pair see the
+same hypervisor weather:{notes}
 
-| parallelism | elapsed (s) | URLs fetched | URLs/sec |
-|---|---|---|---|
-| {label_n} | {results[0]['elapsed_sec']} | {results[0]['urls_fetched']} | {thr_n} |
-| {label_4n} | {results[1]['elapsed_sec']} | {results[1]['urls_fetched']} | {thr_4n} |
+| pair | {label_n} URLs/s | steal | {label_4n} URLs/s | steal | pair eff |
+|---|---|---|---|---|---|
+{rows}
 
-Speedup {n}→{4*n} cores: **{speedup}×**;
-scaling efficiency = (thr_4N / thr_N) / 4 = **{eff}** (target ≥ 0.8).
+Median throughput: {med_lo} → {med_hi} URLs/s.
+**Median pair efficiency = {med_eff}; best pair = {eff_of(best_pair)}**
+(criterion target ≥ 0.8; all pair efficiencies: {effs}).
 """
     bench_md = REPO / "BENCH.md"
     prev = bench_md.read_text() if bench_md.exists() else "# BENCH — scaling runs\n"
