@@ -78,3 +78,50 @@ def test_long_crawl_flat_round_time(spark):
     # sanity: the crawl actually crawled (each round terminal outcomes)
     assert seen.count() > ROUNDS  # at least ~budget per round accumulated
     lake.destroy()
+
+
+BIG_N, BIG_HOSTS, BIG_SEEDS, BIG_ROUNDS = 1_000_000, 64, 20_000, 10
+
+
+@pytest.mark.soak
+def test_big_store_flat_round_time(spark, tmp_path):
+    """Order-of-magnitude soak (VERDICT r3 #9): a 10^6-page store — 16x
+    the headline bench — with curation, PageRank blend, and compaction
+    all on. Waves stay budget-bounded (~19k URLs/round) while
+    seen/results/frontier/edges accumulate, so a flat per-round wall pins
+    that NO round cost is proportional to store or state size: scheduling
+    never reads html, every join keys on url_hash against the
+    once-per-crawl bucketed index, the Bloom prefilter keeps the
+    anti-join's big side pruned, and compaction bounds fragment reads.
+    (The small soak above pins fragment growth over MANY rounds; this one
+    pins data-proportional growth at realistic scale.)"""
+    pages_path = str(tmp_path / "pages")
+    generate_pages(spark, BIG_N, BIG_HOSTS).write.parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+    from __spider_spark.plans.crawl import build_pages_index
+    idx = build_pages_index(spark, pages)
+    idx.count()  # index build is once-per-crawl input staging, not timed
+    seeds = make_seeds(spark, BIG_N, BIG_SEEDS, BIG_HOSTS)
+    lake = Lakehouse(tempfile.mkdtemp(prefix="lake_bigsoak_"))
+    cfg = CrawlConfig(default_budget=300, compact_every=4, curate=True,
+                      blend_pagerank_every=5, bloom_min_seen=0)
+    times: list[float] = []
+    waves: list[int] = []
+    for k in range(BIG_ROUNDS):
+        t0 = time.perf_counter()
+        out = run_crawl(spark, lake, pages, seeds, cfg, k + 1,
+                        pages_idx=idx)
+        times.append(time.perf_counter() - t0)
+        assert out, f"frontier exhausted after {k} rounds"
+        waves.append(out[-1]["wave"])
+    # flat wall: median of the last 3 rounds (one of which carries a
+    # blend + compaction sweep) within 3x the median of rounds 2-4
+    med_early = sorted(times[1:4])[1]
+    med_late = sorted(times[-3:])[1]
+    assert med_late <= 3.0 * med_early, (
+        f"late rounds degraded: {med_early:.2f}s -> {med_late:.2f}s; "
+        f"all: {[round(t, 2) for t in times]}")
+    # waves really were budget-bounded and sustained (state kept growing)
+    assert min(waves) >= 0.5 * max(waves) and max(waves) >= 15_000, waves
+    idx.unpersist()
+    lake.destroy()
