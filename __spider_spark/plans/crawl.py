@@ -573,11 +573,14 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
         n_new_seen = n_ok + n_404 + n_gave_up + n_blocked
         if n_new_seen <= max(int(cfg.bloom_inline_max), 0):
             # common case (waves are budget-bounded): the COUNT from the
-            # metrics job proves this collect is small BEFORE it runs —
-            # one tiny job over the cached extract, <= bloom_inline_max
-            # hashes to the driver, folded with no distributed bitmap job
-            bloom.update([r["url_hash"] for r in
-                          newly_seen.select("url_hash").collect()])
+            # metrics job proves boundedness BEFORE this job runs, so the
+            # collect_list buffer is ≤ bloom_inline_max longs by
+            # construction (the ADVICE r3 hazard was running it UNgated).
+            # One array in one row beats a 50k-row collect: py4j
+            # serializes per row, ~10x slower than one array value.
+            row = newly_seen.agg(
+                F.collect_list("url_hash").alias("h")).first()
+            bloom.update(row["h"])
             t0 = _prof("bloom inline collect+fold", t0)
         else:
             # executor-built bitmap delta over this round's newly-seen

@@ -113,6 +113,14 @@ def main() -> None:
         import os
         ncpu = os.cpu_count() or 32
         r["steal_pct"] = round(100.0 * (s1 - s0) / (wall * 100.0 * ncpu), 2)
+        # memory headroom after the trial: tmpfs scratch accumulation
+        # (shuffle dirs on /dev/shm ARE ram) showed up as a declining
+        # throughput trend, not as steal — record the evidence per trial
+        with open("/proc/meminfo") as f:
+            for ln in f:
+                if ln.startswith("MemAvailable"):
+                    r["mem_avail_gb"] = round(int(ln.split()[1]) / 2**20, 1)
+                    break
         return r
 
     pairs: list[tuple[dict, dict]] = []

@@ -63,10 +63,12 @@ def main() -> None:
     # own disks; this box has ONE, so disk-bound phases are flat in N by
     # construction — BENCH.md round-2 probe (c))
     scratch = os.environ.get("SCALE_LOCAL_DIR")
+    local_dir = None
     if scratch:
         os.makedirs(scratch, exist_ok=True)
-        extra["spark.local.dir"] = tempfile.mkdtemp(
+        local_dir = tempfile.mkdtemp(
             prefix=f"spark_local_{cores}_", dir=scratch)
+        extra["spark.local.dir"] = local_dir
     spark = get_spark(app_name=f"scaling-{cores}", master=master,
                       shuffle_partitions=parts, extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
@@ -97,6 +99,14 @@ def main() -> None:
         "urls_fetched": fetched,
         "urls_per_sec": round(fetched / elapsed, 1),
     }))
+    if local_dir:
+        # each trial removes ITS shuffle scratch: back-to-back trials were
+        # accumulating tens of GB on /dev/shm (tmpfs = RAM), and the round-4
+        # paired campaign showed a declining-throughput trend across pairs
+        # with steal% ~0 — memory-pressure, not hypervisor, noise
+        spark.stop()
+        import shutil
+        shutil.rmtree(local_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
