@@ -849,6 +849,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return simhash_pairs(sim, n_bands=4, max_hamming=3)
     q["q53_simhash_pairs"] = q53
 
+    # Gopher/C4-style repetition gates: top-token fraction + distinct-
+    # token ratio + composite flag — the self-repetition filter (keyword
+    # stuffing / generator spam) that pairwise dedup can't see
+    def q54(spark, sf):
+        from __spider_spark.operators.curation import repetition_stats
+        return repetition_stats(_t(spark, sf, "documents"))
+    q["q54_repetition_stats"] = q54
+
     return q
 
 
@@ -1436,6 +1444,26 @@ def oracle_sql() -> dict[str, str]:
                CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+    o["q54_repetition_stats"] = f"""
+        WITH t AS (
+            SELECT doc_id, unnest({toks_doc}) AS tok FROM documents
+        ), f AS (
+            SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok
+        ), a AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   count(*) AS n_distinct, max(c) AS m
+            FROM f GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, n_distinct,
+               round(m / CAST(n_tokens AS DOUBLE), 4) AS top_token_frac,
+               round(n_distinct / CAST(n_tokens AS DOUBLE), 4)
+                   AS distinct_ratio,
+               (round(m / CAST(n_tokens AS DOUBLE), 4) > 0.2
+                OR round(n_distinct / CAST(n_tokens AS DOUBLE), 4) < 0.3)
+                   AS repetitive
+        FROM a
     """
 
     o["q41_retry_audit"] = """

@@ -81,6 +81,45 @@ def stratified_sample(
     )
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_top_frac: float = 0.2, min_distinct_ratio: float = 0.3,
+) -> DataFrame:
+    """Gopher/C4-style repetition gates: per-doc top-token fraction and
+    distinct-token ratio, plus the composite ``repetitive`` flag
+    (top_token_frac > max_top_frac OR distinct_ratio < min_distinct_ratio)
+    — the standard web-corpus filter for SEO keyword stuffing, boilerplate
+    loops, and generator spam that per-pair dedup can't see (the doc
+    repeats ITSELF, not another doc).
+
+    Output: (id, n_tokens, n_distinct, top_token_frac, distinct_ratio,
+    repetitive); empty docs vanish with the explode (same on the SQL
+    side). Ratios rounded to 4 dp; the flag is computed FROM the rounded
+    values so both engines decide borderline docs identically.
+
+    Scale shape: tokens explode map-side -> groupBy(doc, tok) with
+    partial aggregation -> groupBy(doc) rollup. Two shuffles, both keyed
+    by doc id; no windows, no driver collection."""
+    from ..functions.textstats import tokens
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    t = toks.select(id_col, F.explode("__toks").alias("__tok"))
+    freq = t.groupBy(id_col, "__tok").agg(F.count("*").alias("__c"))
+    agg = freq.groupBy(id_col).agg(
+        F.sum("__c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("__c").alias("__top"),
+    )
+    top_frac = F.round(F.col("__top") / F.col("n_tokens"), 4)
+    dist_ratio = F.round(F.col("n_distinct") / F.col("n_tokens"), 4)
+    return agg.select(
+        F.col(id_col), F.col("n_tokens"), F.col("n_distinct"),
+        top_frac.alias("top_token_frac"),
+        dist_ratio.alias("distinct_ratio"),
+        ((top_frac > F.lit(max_top_frac))
+         | (dist_ratio < F.lit(min_distinct_ratio))).alias("repetitive"),
+    )
+
+
 def normalize_text(col: Column) -> Column:
     """Canonical text form: collapse whitespace runs to one space, strip,
     lowercase. (DuckDB twin: regexp_replace(..., '\\s+', ' ', 'g').)"""

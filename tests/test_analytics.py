@@ -437,3 +437,23 @@ def test_ivf_persisted_index_prunes_scan(spark, sf_dir, tmp_path):
     ).write.parquet(bad + "/centroids")
     with _pytest.raises(ValueError, match="torn or mixed"):
         ivf_serve_topk(spark, bad, query)
+
+
+def test_repetition_stats_hand_case(spark):
+    """'a a a a b' -> top_frac 0.8 (repetitive); 5 distinct words of 5 ->
+    distinct_ratio 1.0 (clean); 'x x y y z z ... ' with ratio 0.25 trips
+    the distinct gate; empty doc vanishes (no tokens on either engine)."""
+    from __spider_spark.operators.curation import repetition_stats
+    rows = [
+        (0, "a a a a b"),
+        (1, "one two three four five"),
+        (2, " ".join(w for w in ("p", "q") for _ in range(4))),  # 8 toks, 2 distinct
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert 3 not in out  # empty doc has no token rows
+    assert out[0].n_tokens == 5 and out[0].n_distinct == 2
+    assert abs(out[0].top_token_frac - 0.8) < 1e-9 and out[0].repetitive
+    assert out[1].distinct_ratio == 1.0 and not out[1].repetitive
+    assert abs(out[2].distinct_ratio - 0.25) < 1e-9 and out[2].repetitive
