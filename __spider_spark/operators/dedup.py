@@ -26,7 +26,7 @@ Exact Jaccard is reserved for verifying candidate pairs, never all pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.textstats import hash60, tokens
