@@ -81,42 +81,138 @@ def stratified_sample(
     )
 
 
+REP_NGRAM_NS = (2, 3, 4)
+
+
+def _dup_part_frac(text_col: Column, sep_regex: str) -> Column:
+    """Fraction of a doc's lines/paragraphs that are duplicates of an
+    earlier one — Gopher's duplicate-line/paragraph gate (Rae et al.
+    table A1), ``(n_parts - n_distinct_parts) / n_parts``, which equals
+    the occurrences-after-the-first counting of the standard
+    implementations. Whitespace-only parts are dropped (blank separators
+    between paragraphs would otherwise all "duplicate" each other).
+    Pure Column expr — the whole gate evaluates in the scan stage, zero
+    shuffles, because duplicate structure is a WITHIN-doc property."""
+    parts = F.filter(
+        F.transform(F.split(text_col, sep_regex), lambda x: F.trim(x)),
+        lambda x: x != "")
+    n = F.size(parts)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round((n - F.size(F.array_distinct(parts)))
+                / n.cast("double"), 4))
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     max_top_frac: float = 0.2, min_distinct_ratio: float = 0.3,
+    max_dup_line_frac: float = 0.3, max_dup_para_frac: float = 0.3,
+    max_top_ngram_frac: tuple[float, ...] = (0.20, 0.18, 0.16),
 ) -> DataFrame:
-    """Gopher/C4-style repetition gates: per-doc top-token fraction and
-    distinct-token ratio, plus the composite ``repetitive`` flag
-    (top_token_frac > max_top_frac OR distinct_ratio < min_distinct_ratio)
-    — the standard web-corpus filter for SEO keyword stuffing, boilerplate
-    loops, and generator spam that per-pair dedup can't see (the doc
-    repeats ITSELF, not another doc).
+    """Gopher/C4-style repetition gate battery (Rae et al. 2021, table
+    A1): per-doc top-token fraction, distinct-token ratio, duplicate-line
+    and duplicate-paragraph fractions, and top-{2,3,4}-gram fractions,
+    plus the composite ``repetitive`` flag — the standard pre-training
+    filter for SEO keyword stuffing, looped boilerplate paragraphs, and
+    generator spam that per-pair dedup can't see (the doc repeats ITSELF,
+    not another doc).
+
+    Definitions (token-weighted variant of Gopher's char-weighted
+    n-gram fractions — deterministic under ties, same thresholds):
+      * top_token_frac   = count(most frequent token) / n_tokens
+      * distinct_ratio   = n_distinct_tokens / n_tokens
+      * dup_line_frac    = (n_lines - n_distinct_lines) / n_lines
+                           (lines = trimmed non-empty '\\n' splits;
+                           paragraphs likewise on '\\n\\n')
+      * top_{n}gram_frac = count(most frequent n-gram) * n / n_tokens,
+                           0.0 unless that gram occurs >= 2 times
+                           (one occurrence is not repetition; Gopher
+                           never meets the case because its >=50-word
+                           length gate makes a single n<=4-gram unable
+                           to trip the threshold, while short docs
+                           here would all trip it). Overlapping grams,
+                           so > 1 is possible — like Gopher's char
+                           fraction it's a score compared against a
+                           < 1 threshold; 0.0 for docs shorter than n
+                           tokens.
+      * repetitive       = any gate trips (thresholds are the Gopher
+                           table A1 defaults)
 
     Output: (id, n_tokens, n_distinct, top_token_frac, distinct_ratio,
-    repetitive); empty docs vanish with the explode (same on the SQL
-    side). Ratios rounded to 4 dp; the flag is computed FROM the rounded
-    values so both engines decide borderline docs identically.
+    dup_line_frac, dup_para_frac, top_2gram_frac, top_3gram_frac,
+    top_4gram_frac, repetitive); empty docs vanish with the explode
+    (same on the SQL side). Ratios rounded to 4 dp; the flag is computed
+    FROM the rounded values so both engines decide borderline docs
+    identically.
 
-    Scale shape: tokens explode map-side -> groupBy(doc, tok) with
-    partial aggregation -> groupBy(doc) rollup. Two shuffles, both keyed
-    by doc id; no windows, no driver collection."""
+    Scale shape: ONE unified explode carries tokens (n=1) and all three
+    gram sizes map-side -> groupBy(doc, n, gram) with partial
+    aggregation -> groupBy(doc) conditional-agg rollup. Two shuffles,
+    both keyed by doc id, for the whole battery; the line/paragraph
+    gates are zero-shuffle scan-stage exprs joined back on the doc key.
+    No windows, no driver collection."""
     from ..functions.textstats import tokens
-    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
-    t = toks.select(id_col, F.explode("__toks").alias("__tok"))
-    freq = t.groupBy(id_col, "__tok").agg(F.count("*").alias("__c"))
-    agg = freq.groupBy(id_col).agg(
-        F.sum("__c").alias("n_tokens"),
-        F.count("*").alias("n_distinct"),
-        F.max("__c").alias("__top"),
+    base = df.select(F.col(id_col), F.col(text_col).alias("__txt"),
+                     tokens(F.col(text_col)).alias("__toks"))
+
+    struct_stats = base.select(
+        F.col(id_col),
+        _dup_part_frac(F.col("__txt"), r"\n\n").alias("dup_para_frac"),
+        _dup_part_frac(F.col("__txt"), r"\n").alias("dup_line_frac"),
     )
-    top_frac = F.round(F.col("__top") / F.col("n_tokens"), 4)
+
+    # unified (n, gram) stream: tokens ride as n=1 so ONE explode and ONE
+    # (doc, n, gram) shuffle serve every token- and gram-level stat.
+    # Docs shorter than n tokens emit no n-grams (shingles_from would pad
+    # a single truncated shingle — masked here so fracs stay honest).
+    empty = F.array().cast("array<struct<n:int,g:string>>")
+
+    def _tagged(n: int) -> Column:
+        arr = F.transform(
+            shingles_from(F.col("__toks"), n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")))
+        return F.when(F.size("__toks") >= n, arr).otherwise(empty)
+
+    grams = F.concat(
+        F.transform(F.col("__toks"),
+                    lambda t: F.struct(F.lit(1).alias("n"), t.alias("g"))),
+        *[_tagged(n) for n in REP_NGRAM_NS])
+    t = (base.select(id_col, F.explode(grams).alias("__e"))
+         .select(id_col, F.col("__e.n").alias("__n"),
+                 F.col("__e.g").alias("__g")))
+    freq = t.groupBy(id_col, "__n", "__g").agg(F.count("*").alias("__c"))
+    tok_c = F.when(F.col("__n") == 1, F.col("__c"))
+    agg = freq.groupBy(id_col).agg(
+        F.sum(tok_c).alias("n_tokens"),
+        F.count(tok_c).alias("n_distinct"),
+        F.max(tok_c).alias("__top1"),
+        *[F.max(F.when(F.col("__n") == n, F.col("__c")))
+          .alias(f"__top{n}") for n in REP_NGRAM_NS],
+    )
+
+    top_frac = F.round(F.col("__top1") / F.col("n_tokens"), 4)
     dist_ratio = F.round(F.col("n_distinct") / F.col("n_tokens"), 4)
-    return agg.select(
+
+    def _gram_frac(n: int) -> Column:
+        return F.when(
+            (F.col("n_tokens") >= n) & (F.col(f"__top{n}") >= 2),
+            F.round(F.col(f"__top{n}") * n / F.col("n_tokens"), 4),
+        ).otherwise(F.lit(0.0))
+
+    gram_fracs = {n: _gram_frac(n) for n in REP_NGRAM_NS}
+    flag = (
+        (top_frac > F.lit(max_top_frac))
+        | (dist_ratio < F.lit(min_distinct_ratio))
+        | (F.col("dup_line_frac") > F.lit(max_dup_line_frac))
+        | (F.col("dup_para_frac") > F.lit(max_dup_para_frac)))
+    for n, thr in zip(REP_NGRAM_NS, max_top_ngram_frac):
+        flag = flag | (gram_fracs[n] > F.lit(thr))
+    return agg.join(struct_stats, id_col).select(
         F.col(id_col), F.col("n_tokens"), F.col("n_distinct"),
         top_frac.alias("top_token_frac"),
         dist_ratio.alias("distinct_ratio"),
-        ((top_frac > F.lit(max_top_frac))
-         | (dist_ratio < F.lit(min_distinct_ratio))).alias("repetitive"),
+        F.col("dup_line_frac"), F.col("dup_para_frac"),
+        *[gram_fracs[n].alias(f"top_{n}gram_frac") for n in REP_NGRAM_NS],
+        flag.alias("repetitive"),
     )
 
 
@@ -169,30 +265,87 @@ def tfidf_top_terms(
 
 def contamination(
     df: DataFrame, is_eval: Column, text_col: str = "text",
-    id_col: str = "doc_id", k: int = 5,
+    id_col: str = "doc_id", k: int = 5, bench_col: Column | None = None,
 ) -> DataFrame:
     """Corpus docs sharing >= 1 word-k-gram with the eval set.
 
     Output: (id, n_shared) for NON-eval docs, n_shared = number of
-    distinct shingles also present in any eval doc. Downstream use:
-    anti-join the corpus against this to decontaminate before training.
+    distinct shingles also present in any eval doc. With ``bench_col``
+    (a Column giving each eval doc's benchmark id) the grain becomes
+    (id, bench, n_shared) — which benchmark leaked into which doc, the
+    accounting grain :func:`decontamination_report` rolls up. Downstream
+    removal: :func:`decontaminate`.
     """
     from ..functions.textstats import tokens
+    bench = [bench_col.alias("__bench")] if bench_col is not None else []
     sh = (
         # tokens projected into their own column BEFORE the shingle
         # explode — see shingles_from: inlining the split expression into
         # the transform lambda re-splits the text per k-gram position
-        df.select(F.col(id_col), is_eval.alias("__eval"),
+        df.select(F.col(id_col), is_eval.alias("__eval"), *bench,
                   tokens(F.col(text_col)).alias("__toks"))
         .select(F.col(id_col), F.col("__eval"),
+                *([F.col("__bench")] if bench else []),
                 F.explode(shingles_from(F.col("__toks"), k)).alias("__s"))
-        .select(id_col, "__eval", hash60(F.col("__s")).alias("__sh"))
+        .select(id_col, "__eval", *([F.col("__bench")] if bench else []),
+                hash60(F.col("__s")).alias("__sh"))
         .distinct()
     )
-    eval_sh = sh.filter(F.col("__eval")).select("__sh").distinct()
+    if bench_col is None:
+        eval_sh = sh.filter(F.col("__eval")).select("__sh").distinct()
+        return (
+            sh.filter(~F.col("__eval"))
+            .join(eval_sh, "__sh")
+            .groupBy(id_col)
+            .agg(F.count_distinct("__sh").alias("n_shared"))
+        )
+    eval_sh = (sh.filter(F.col("__eval"))
+               .select("__bench", "__sh").distinct())
     return (
-        sh.filter(~F.col("__eval"))
+        sh.filter(~F.col("__eval")).select(id_col, "__sh")
         .join(eval_sh, "__sh")
-        .groupBy(id_col)
+        .groupBy(id_col, "__bench")
         .agg(F.count_distinct("__sh").alias("n_shared"))
+        .withColumnRenamed("__bench", "bench")
+    )
+
+
+def decontaminate(
+    df: DataFrame, is_eval: Column, text_col: str = "text",
+    id_col: str = "doc_id", k: int = 5,
+) -> DataFrame:
+    """The corpus with benchmark contamination REMOVED: non-eval rows of
+    ``df`` anti-joined against :func:`contamination`'s flags (any doc
+    sharing >= 1 word-k-gram with an eval doc goes; the eval rows
+    themselves are not training data either). Same columns as ``df``.
+
+    Scale shape: the flag relation is (contaminated-doc-id) — tiny next
+    to the corpus — so the anti-join broadcasts; the corpus never
+    shuffles."""
+    flagged = contamination(df, is_eval, text_col, id_col, k) \
+        .select(id_col)
+    return df.filter(~is_eval).join(F.broadcast(flagged), id_col,
+                                    "left_anti")
+
+
+def decontamination_report(
+    df: DataFrame, is_eval: Column, bench_col: Column,
+    text_col: str = "text", id_col: str = "doc_id", k: int = 5,
+) -> DataFrame:
+    """Per-benchmark removal accounting for :func:`decontaminate`:
+    (bench, n_docs_removed, n_tokens_removed, n_shared_grams). A doc
+    contaminated by two benchmarks is charged to BOTH rows (the question
+    each row answers is "what did benchmark B leak into the corpus", not
+    a partition of the removals)."""
+    from ..functions.textstats import token_count
+    flags = contamination(df, is_eval, text_col, id_col, k,
+                          bench_col=bench_col)
+    toks = df.select(F.col(id_col),
+                     token_count(F.col(text_col)).alias("__nt"))
+    return (
+        flags.join(toks, id_col)
+        .groupBy("bench")
+        .agg(F.count("*").alias("n_docs_removed"),
+             F.sum("__nt").alias("n_tokens_removed"),
+             F.sum("n_shared").alias("n_shared_grams"))
     )

@@ -84,9 +84,10 @@ def connected_components(
     ``localCheckpoint`` every few rounds — without it Catalyst re-analyzes
     a plan that grows per iteration and the driver, not the data, becomes
     the bottleneck (the same discipline pagerank documents). For graphs
-    with adversarial diameter swap the join for the large-star/small-star
-    alternation (Kiveris et al., "Connected Components in MapReduce"),
-    which squares the convergence rate with the same per-round shape.
+    with adversarial diameter use :func:`connected_components_star`
+    (Kiveris et al. large-star/small-star), which squares the
+    convergence rate with the same per-round shuffle shape and computes
+    the identical relation (equivalence pytest-pinned).
 
     Exact-fixpoint semantics (not a fixed-iteration cut), so an ANSI
     recursive CTE computes the identical relation — oracle-checkable.
@@ -129,8 +130,89 @@ def connected_components(
         )
         labels = updated
         if n_changed == 0:
+            return labels
+    # Silently returning a non-fixpoint would break the documented
+    # exact-fixpoint contract (and the recursive-CTE oracle equality) —
+    # found by the star-equivalence test on a 40-edge walk in round 5.
+    raise RuntimeError(
+        f"connected_components did not reach a fixpoint within "
+        f"max_iter={max_iter} rounds (graph diameter too large); raise "
+        f"max_iter or use connected_components_star (O(log²) rounds)")
+
+
+def connected_components_star(
+    edges: DataFrame,          # (src long, dst long), treated undirected
+    max_iter: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components by the large-star/small-star alternation
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond") — same (node, component = min reachable id) output as
+    :func:`connected_components`, but converging in O(log²ⁿ) rounds
+    worst-case (≈ 2·log₂ n observed on a path graph, pytest-asserted)
+    instead of O(diameter): the adversarial-diameter case the min-label
+    loop documents. Each round is two groupBy-min + join passes over the
+    edge relation, all keyed on the 8-byte node id — the same per-round
+    shuffle shape, just squared convergence.
+
+      * large-star: for each node u, every strictly-larger neighbor is
+        re-pointed at min(Γ(u) ∪ {u}) — tall trees flatten.
+      * small-star: orient edges (max, min); every small neighbor and u
+        itself point at the minimum — stars form.
+
+    Termination: the edge set reaches a fixpoint (checked with two
+    anti-join counts per round — bounded driver actions, no row data
+    collected); at the fixpoint every edge is (node, component-min).
+    ``stats["rounds"]`` reports the round count when a dict is passed.
+    Isolated self-loops vanish (same as the label-prop operator)."""
+    e = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    rounds = 0
+    for _ in range(max_iter):
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("__mn"))
+                .select("u", F.least("__mn", F.col("u")).alias("m")))
+        # large-star output (v, m) always has v > u >= m, so it is
+        # already (max, min)-oriented for the small-star pass
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        j = large.join(mins2, "u")
+        small = (
+            j.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(j.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()   # O(1)-deep plan per round, as label-prop
+        )
+        rounds += 1
+        changed = (
+            small.join(e, ["u", "v"], "left_anti").count()
+            or e.join(small, ["u", "v"], "left_anti").count()
+        )
+        e = small
+        if not changed:
             break
-    return labels
+    if stats is not None:
+        stats["rounds"] = rounds
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .unionByName(
+            e.select(F.col("v").alias("node"),
+                     F.col("v").alias("component")))
+        .distinct()
+    )
 
 
 def reprioritize_frontier(

@@ -8,12 +8,17 @@ Decode status per format:
   * **BMP (24-bit uncompressed)** — REAL decode, pure struct parsing
     (no codec lib needed): width/height from BITMAPINFOHEADER, channel
     means + quadrant lumas as the 8-dim feature.
+  * **PNG (8-bit RGB/RGBA, non-interlaced)** — REAL decode, stdlib
+    ``zlib`` inflate + per-row unfiltering (all 5 PNG filter types),
+    same exact-integer feature path as BMP (PNG-vs-BMP byte-identity is
+    pytest-pinned on shared pixel functions).
   * **WAV (16-bit PCM)** — REAL decode via the stdlib ``wave`` module:
     sample_rate/n_frames plus 8-segment RMS as the feature.
-  * everything else (PNG/JPEG/MP4...) — needs PIL/opencv/ffmpeg, absent in
-    this container: stubbed behind ``SPIDER_SPARK_FAKE_DECODE``
-    (deterministic fake) or reported as ``codec_missing``. Swapping in a
-    real codec touches only ``_decode_other``.
+  * everything else (JPEG/MP4...) — genuinely codec-lib-bound
+    (PIL/opencv/ffmpeg, absent in this container): stubbed behind
+    ``SPIDER_SPARK_FAKE_DECODE`` (deterministic fake) or reported as
+    ``codec_missing``. Swapping in a real codec touches only
+    ``_decode_other``.
 
 Design rules for the 100 TB case:
   * payloads travel in their own column so scheduling/metadata queries
@@ -32,6 +37,7 @@ import math
 import os
 import struct
 import wave
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -97,9 +103,20 @@ def decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
     img = rows[:, : width * 3].reshape(height, width, 3)
     if height_raw > 0:
         img = img[::-1]
-    b = img[:, :, 0].astype(np.int64)
-    g = img[:, :, 1].astype(np.int64)
-    r = img[:, :, 2].astype(np.int64)
+    return width, height, _rgb_feature(
+        img[:, :, 2], img[:, :, 1], img[:, :, 0], width, height)
+
+
+def _rgb_feature(r8, g8, b8, width: int, height: int) -> list[float]:
+    """Shared exact-integer feature for all image codecs: (mean R, mean
+    G, mean B, mean luma, luma of 4 quadrants), all in [0,1]. Channel
+    and quadrant sums are exact int64 reductions (independent of
+    summation order); luma means are 3 fp ops on those exact sums —
+    which is why a PNG and a BMP of the same pixels produce IDENTICAL
+    features (pytest-pinned)."""
+    r = r8.astype("int64")
+    g = g8.astype("int64")
+    b = b8.astype("int64")
 
     def luma_of(sr: int, sg: int, sb: int) -> float:
         return 0.299 * sr + 0.587 * sg + 0.114 * sb
@@ -118,7 +135,134 @@ def decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
                 feat.append(ql / qn / 255.0)
             else:
                 feat.append(0.0)
-    return width, height, [float(v) for v in feat]
+    return [float(v) for v in feat]
+
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+
+def encode_png(
+    width: int, height: int, pixel, alpha=None, filter_type: int = 0,
+) -> bytes:
+    """Minimal PNG writer (test/synth helper): 8-bit RGB (or RGBA when
+    ``alpha(x, y)`` is given), non-interlaced, every row filtered with
+    ``filter_type`` (0..4 — lets tests exercise each unfilter path).
+    ``pixel(x, y) -> (r, g, b)``."""
+    ch = 4 if alpha is not None else 3
+    prev = bytes(width * ch)
+    raw = bytearray()
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            row += bytes(pixel(x, y))
+            if alpha is not None:
+                row.append(alpha(x, y))
+        filt = bytearray()
+        for i, v in enumerate(row):
+            a = row[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if filter_type == 0:
+                pred = 0
+            elif filter_type == 1:
+                pred = a
+            elif filter_type == 2:
+                pred = b
+            elif filter_type == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt.append((v - pred) & 0xFF)
+        raw += bytes((filter_type,)) + filt
+        prev = bytes(row)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8,
+                       6 if alpha is not None else 2, 0, 0, 0)
+    return (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> tuple[int, int, list[float]]:
+    """Real PNG decode with the stdlib only: chunk walk -> ``zlib``
+    inflate -> per-scanline unfiltering (all 5 filter types per the PNG
+    spec §9) -> the shared :func:`_rgb_feature`. Supports 8-bit
+    non-interlaced RGB/RGBA (color types 2/6) — the overwhelmingly
+    common web shapes; others raise like a missing codec.
+
+    Unfiltering is row-sequential by spec (each row's predictor reads
+    the reconstructed previous row): None/Up are vectorized numpy ops,
+    Sub is a per-lane cumsum (mod-256 addition distributes over
+    cumsum), Average/Paeth fall back to a per-byte loop only on rows
+    that actually use them. Alpha is ignored for the feature (decoded,
+    not composited — features key on the RGB planes)."""
+    import numpy as np
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width, height, depth, ctype, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr)
+    if depth != 8 or ctype not in (2, 6) or comp != 0 or interlace != 0:
+        raise ValueError(
+            "only 8-bit non-interlaced RGB/RGBA PNG supported")
+    ch = 3 if ctype == 2 else 4
+    stride = width * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline payload has wrong length")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    ftypes = arr[:, 0]
+    rows = arr[:, 1:].astype(np.int32)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        f, cur = int(ftypes[y]), rows[y]
+        if f == 0:
+            rec = cur
+        elif f == 1:   # Sub: recon = mod-256 cumsum per byte lane
+            rec = np.cumsum(cur.reshape(width, ch), axis=0).reshape(-1) % 256
+        elif f == 2:   # Up
+            rec = (cur + prev) % 256
+        elif f in (3, 4):
+            rec = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                a = int(rec[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                if f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prev[i - ch]) if i >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else \
+                        (b if pb <= pc else c)
+                rec[i] = (int(cur[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec
+        prev = out[y].astype(np.int32)
+    img = out.reshape(height, width, ch)
+    return width, height, _rgb_feature(
+        img[:, :, 0], img[:, :, 1], img[:, :, 2], width, height)
 
 
 def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
@@ -155,10 +299,11 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[float]]:
 
 
 def _decode_other(payload: bytes, fake: bool) -> tuple[int, int, list[float]]:
-    """Non-stdlib formats (PNG/JPEG/MP4...): real impl needs PIL/opencv/
-    ffmpeg, absent in this container. With ``fake`` a deterministic
-    stand-in derives values from the payload hash, keeping the distributed
-    plumbing exercised; otherwise raises, exactly like a missing codec."""
+    """Genuinely codec-lib-bound formats (JPEG/MP4...): real impl needs
+    PIL/opencv/ffmpeg, absent in this container (BMP/PNG/WAV decode for
+    real above). With ``fake`` a deterministic stand-in derives values
+    from the payload hash, keeping the distributed plumbing exercised;
+    otherwise raises, exactly like a missing codec."""
     if not fake:
         raise NotImplementedError(
             "decode requires PIL/opencv/ffmpeg (not in this container); "
@@ -199,6 +344,9 @@ def decode_features(media: DataFrame, fake: bool | None = None) -> DataFrame:
                     if p[:2] == b"BM":
                         w, h, feat = decode_bmp(p)
                         emit(feat, w=w, h=h)
+                    elif p[:8] == PNG_SIG:
+                        w, h, feat = decode_png(p)
+                        emit(feat, w=w, h=h)
                     elif p[:4] == b"RIFF":
                         sr, nf, feat = decode_wav(p)
                         emit(feat, sr=sr, nf=nf)
@@ -207,7 +355,8 @@ def decode_features(media: DataFrame, fake: bool | None = None) -> DataFrame:
                         emit(feat, w=w, h=h)
                 except NotImplementedError:
                     emit(note="codec_missing")
-                except (ValueError, struct.error, wave.Error, EOFError):
+                except (ValueError, struct.error, wave.Error, EOFError,
+                        zlib.error):
                     emit(note="decode_error")
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
@@ -219,9 +368,11 @@ def decode_features(media: DataFrame, fake: bool | None = None) -> DataFrame:
 
 
 def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table. Image rows carry REAL 24-bit BMPs,
-    audio rows REAL 16-bit PCM WAVs (both synthesized from the seed), and
-    video rows an opaque payload (exercises the codec-missing path)."""
+    """Deterministic fake media table. Image rows alternate REAL 24-bit
+    BMPs and REAL 8-bit PNGs (Paeth-filtered, so the inflate+unfilter
+    path runs distributed), audio rows REAL 16-bit PCM WAVs (all
+    synthesized from the seed), and video rows an opaque payload
+    (exercises the codec-missing path)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -239,7 +390,10 @@ def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
                         return (_b[(x + y) % 32], _b[(x * 3 + y) % 32],
                                 _b[(x + y * 7) % 32])
 
-                    payload = encode_bmp(w, h, pixel)
+                    if (i // 3) % 2:
+                        payload = encode_png(w, h, pixel, filter_type=4)
+                    else:
+                        payload = encode_bmp(w, h, pixel)
                     meta = {"width": w, "height": h,
                             "sample_rate": None, "n_frames": 1}
                 elif kind == "audio":

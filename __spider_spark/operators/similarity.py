@@ -279,8 +279,6 @@ def ivf_write_index(
     a torn build is detectable and rebuilt. Replaces the round-3 serving
     path the verdict called out: the trivial first-8-ids quantizer plus a
     per-query full-table ``ivf_assign`` recompute."""
-    import os
-
     spark = emb_df.sparkSession
     centroids = ivf_centroids_kmeans(
         emb_df, n_clusters, n_iter, id_col, emb_col)
@@ -293,8 +291,12 @@ def ivf_write_index(
         [(i, c) for i, c in enumerate(centroids)],
         "cluster int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(store + "/centroids")
-    with open(os.path.join(store, "_SUCCESS"), "w"):
-        pass
+    # Marker goes through the Hadoop FileSystem resolved from the store
+    # URI, not local open(): an hdfs:// or s3a:// store gets its marker in
+    # the same filesystem as the two tables it attests.
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(store + "/_SUCCESS")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.create(jpath, True).close()
     return centroids
 
 

@@ -47,7 +47,9 @@ def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+def bench_queries(
+    spark, sf_dir: str,
+) -> tuple[dict[str, float], dict[str, list[float]]]:
     qs = entrymod.queries()
     # warmup: JVM/codegen/parquet-listing startup should not be billed to
     # whichever query happens to run first — and neither should the
@@ -62,20 +64,25 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
            .select(canonicalize_url(
                F.concat(F.lit("http://warm.test/"), F.col("id")))))
     times: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
     for name in HEADLINE:
         # best of 2: round-4 instrumentation showed this box suffers
         # bursty host-level interference (one run measured every entry,
         # UDF-free included, uniformly ~2x inflated at 0% steal —
         # BENCH.md §Round-4). Interference only ever ADDS time, so the
         # min is the least-interfered estimate of the engine's cost.
-        best = None
+        # BOTH raw runs are emitted in the artifact (queries_runs) so any
+        # round-over-round comparison can be made same-basis (r4 VERDICT
+        # "What's wrong" #1): runs[0] is the cold/first-run basis, min()
+        # the best-of-2 basis.
+        runs: list[float] = []
         for _ in range(2):
             t0 = time.perf_counter()
             _force(qs[name](spark, sf_dir))
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
-    return times
+            runs.append(round(time.perf_counter() - t0, 3))
+        raw[name] = runs
+        times[name] = min(runs)
+    return times, raw
 
 
 def bench_crawl(spark) -> tuple[float, float, int, dict[str, float]]:
@@ -121,21 +128,26 @@ def main() -> None:
     spark = get_spark(app_name="bench", master=f"local[{cpus}]",
                       shuffle_partitions=min(int(cpus), 16))
     spark.sparkContext.setLogLevel("ERROR")
-    times = bench_queries(spark, sf_dir)
+    times, raw = bench_queries(spark, sf_dir)
     # crawl best-of-2, same rationale as bench_queries (each run gets a
     # fresh page store + lakehouse; generation is outside the timer)
     runs = [bench_crawl(spark) for _ in range(2)]
     crawl_sec, urls_per_sec, fetched, phases = min(runs, key=lambda r: r[0])
     times["crawl_3rounds"] = crawl_sec
+    raw["crawl_3rounds"] = [r[0] for r in runs]
     total = round(sum(times.values()), 3)
+    first_run_total = round(sum(r[0] for r in raw.values()), 3)
     print(json.dumps({
         "metric": "headline suite wall seconds (lower=better); "
                   "crawl_urls_per_sec = frontier URLs scheduled+fetched/sec",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "queries_runs": raw,
+        "first_run_total_sec": first_run_total,
         "sf": sf,
         "crawl_urls_per_sec": urls_per_sec,
+        "crawl_urls_per_sec_runs": [r[1] for r in runs],
         "crawl_urls_fetched": fetched,
         "crawl_phase_sec": phases,
         "cpus": int(cpus),

@@ -169,7 +169,7 @@ def main() -> None:
         notes += ("\nEach level taskset-confined to exactly its core count "
                   "(cgroup analogue); python UDF workers included.")
     notes += (f"\n{trials} interleaved back-to-back (N, 4N) pairs; "
-              "per-trial hypervisor steal%% measured from /proc/stat.")
+              "per-trial hypervisor steal% measured from /proc/stat.")
     rows = "\n".join(
         f"| {t} | {p[0]['urls_per_sec']} | {p[0]['steal_pct']}% "
         f"| {p[1]['urls_per_sec']} | {p[1]['steal_pct']}% | {eff_of(p)} |"

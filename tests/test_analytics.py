@@ -318,6 +318,39 @@ def test_bmp_wav_decode_exact():
     assert all(abs(v - 0.5) < 1e-6 for v in afeat)
 
 
+def test_png_decode_exact():
+    """Stdlib PNG decode (r4 VERDICT next-round #4): every filter type
+    (None/Sub/Up/Average/Paeth) and RGB + RGBA reconstruct the SAME
+    pixels, and a PNG's feature is bit-identical to the BMP of the same
+    pixel function (shared exact-int64 feature path); a truncated
+    payload reports decode_error semantics (raises)."""
+    import pytest
+
+    from __spider_spark.operators.multimodal import (
+        decode_bmp, decode_png, encode_bmp, encode_png)
+
+    def pixel(x, y):  # gradient + structure so every filter differs
+        return ((x * 37 + y * 11) % 256, (x * 3 + y * 91) % 256,
+                (x * x + y) % 256)
+
+    w, h = 9, 7  # odd sizes exercise the uneven quadrant split
+    base = decode_png(encode_png(w, h, pixel, filter_type=0))
+    assert base[:2] == (w, h)
+    for ft in (1, 2, 3, 4):
+        assert decode_png(encode_png(w, h, pixel, filter_type=ft)) == base, ft
+    # RGBA: alpha plane decoded but feature keys on RGB only
+    rgba = decode_png(encode_png(w, h, pixel,
+                                 alpha=lambda x, y: (x + y) % 256,
+                                 filter_type=4))
+    assert rgba == base
+    # cross-codec identity: same pixels through the BMP path
+    assert decode_bmp(encode_bmp(w, h, pixel)) == base
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\nnot really a png")
+    with pytest.raises(Exception):
+        decode_png(encode_png(w, h, pixel)[:40])  # truncated IDAT
+
+
 def test_stratified_sample_deterministic_and_stable(spark, sf_dir):
     """Sampling is a pure function of the row id: identical across runs,
     membership unchanged when the corpus grows (the property that makes
@@ -362,6 +395,56 @@ def test_contamination_hand_case(spark):
     assert set(got) == {1}
     # doc1 shares 'the quick brown', 'quick brown fox' with doc0
     assert got[1] == 2
+
+
+def test_decontaminate_compose(spark):
+    """decontaminate = corpus minus eval minus flagged, and composing it
+    with a downstream curation rollup equals filtering first then
+    curating (r4 VERDICT next-round #8); the per-benchmark report does
+    the hand-math accounting, double-charging a doc leaked by TWO
+    benchmarks to both rows."""
+    from pyspark.sql import functions as F
+
+    from __spider_spark.operators.curation import (
+        contamination,
+        decontaminate,
+        decontamination_report,
+    )
+    rows = [
+        (0, "en", "the quick brown fox jumps over the lazy dog"),  # eval b0
+        (1, "en", "look the quick brown fox ran away yesterday"),  # leaked b0
+        (2, "en", "completely different words in every position"),  # clean
+        (3, "de", "what does the lazy dog dream about at night"),  # eval b1
+        # leaked by BOTH benchmarks (3-grams of doc 0 AND doc 3):
+        (4, "de", "said the quick brown fox to the lazy dog dream"),
+        (5, "de", "unrelated german sentence with its own tokens"),  # clean
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    is_eval = F.col("doc_id").isin(0, 3)
+
+    clean = decontaminate(df, is_eval, k=3)
+    assert sorted(r.doc_id for r in clean.collect()) == [2, 5]
+    assert clean.columns == df.columns
+
+    # composed chain == filter-then-curate
+    def curate(d):
+        return sorted(d.groupBy("lang").agg(
+            F.count("*").alias("n")).collect())
+    flagged = {r.doc_id for r in contamination(df, is_eval, k=3).collect()}
+    manual = df.filter(~is_eval & ~F.col("doc_id").isin(list(flagged)))
+    assert curate(clean) == curate(manual)
+
+    # per-benchmark accounting (bench = doc_id % 2 -> eval doc 0 is
+    # benchmark 0, eval doc 3 benchmark 1): doc 4 (10 tokens) leaks both
+    # -> charged to BOTH rows
+    rep = {r.bench: r for r in decontamination_report(
+        df, is_eval, bench_col=F.col("doc_id") % 2, k=3).collect()}
+    assert rep[0].n_docs_removed == 2  # docs 1 and 4 leak benchmark 0
+    assert rep[0].n_tokens_removed == 8 + 10
+    assert rep[0].n_shared_grams == 2 + 3
+    assert rep[1].n_docs_removed == 1  # doc 4 also leaks benchmark 1
+    assert rep[1].n_tokens_removed == 10
+    assert rep[1].n_shared_grams == 2
 
 
 def test_normalize_text_idempotent(spark):
@@ -441,19 +524,40 @@ def test_ivf_persisted_index_prunes_scan(spark, sf_dir, tmp_path):
 
 def test_repetition_stats_hand_case(spark):
     """'a a a a b' -> top_frac 0.8 (repetitive); 5 distinct words of 5 ->
-    distinct_ratio 1.0 (clean); 'x x y y z z ... ' with ratio 0.25 trips
-    the distinct gate; empty doc vanishes (no tokens on either engine)."""
+    all-zero gates (a single n-gram occurrence is NOT repetition — the
+    >=2 rule); ratio 0.25 trips the distinct gate; empty doc vanishes;
+    duplicate lines and paragraphs measured by the structural gates."""
     from __spider_spark.operators.curation import repetition_stats
     rows = [
         (0, "a a a a b"),
         (1, "one two three four five"),
         (2, " ".join(w for w in ("p", "q") for _ in range(4))),  # 8 toks, 2 distinct
         (3, ""),
+        # 4 copies of line "d1 d2" + 4 unique 4-token lines: dup_line
+        # 3/8 = 0.375 trips (>0.3) while top_token 4/24 stays clean
+        (4, "\n".join(["d1 d2"] * 4
+                      + [f"{c}1 {c}2 {c}3 {c}4" for c in "efgh"])),
+        # repeated paragraph: dup_para 1/3 trips
+        (5, "para one text\n\npara one text\n\nanother paragraph now"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r for r in repetition_stats(df).collect()}
     assert 3 not in out  # empty doc has no token rows
     assert out[0].n_tokens == 5 and out[0].n_distinct == 2
     assert abs(out[0].top_token_frac - 0.8) < 1e-9 and out[0].repetitive
+    # 'a a' x3 -> 6/5 (overlapping grams exceed 1 by design);
+    # 'a a a a' occurs once -> 0.0 under the >=2 rule
+    assert abs(out[0].top_2gram_frac - 1.2) < 1e-9
+    assert abs(out[0].top_3gram_frac - 1.2) < 1e-9
+    assert out[0].top_4gram_frac == 0.0
+    assert out[0].dup_line_frac == 0.0 and out[0].dup_para_frac == 0.0
+    # all-unique doc: every gate 0/clean — the round-5 regression case
+    # (token-weighted top-gram frac on SHORT docs must not fire on a
+    # single occurrence)
     assert out[1].distinct_ratio == 1.0 and not out[1].repetitive
+    assert out[1].top_2gram_frac == 0.0 and out[1].top_4gram_frac == 0.0
     assert abs(out[2].distinct_ratio - 0.25) < 1e-9 and out[2].repetitive
+    assert out[4].dup_line_frac == 0.375 and out[4].repetitive
+    assert out[4].dup_para_frac == 0.0
+    assert abs(out[4].top_token_frac - round(4 / 24, 4)) < 1e-9
+    assert abs(out[5].dup_para_frac - 0.3333) < 1e-9 and out[5].repetitive

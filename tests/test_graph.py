@@ -60,3 +60,48 @@ def test_connected_components_transitive(spark):
     outc = {r.node: r.component
             for r in connected_components(chain).collect()}
     assert len(outc) == 21 and set(outc.values()) == {20}
+
+
+def test_connected_components_star_log_rounds(spark):
+    """Large-star/small-star on a 2,000-node PATH — the adversarial-
+    diameter case: min-label propagation needs ~2,000 rounds, the
+    alternation must finish in <= 2*log2(n) (Kiveris et al. convergence),
+    with every node labeled by the global min."""
+    import math
+
+    from __spider_spark.operators.graph import connected_components_star
+    n = 2000
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long")
+    stats: dict = {}
+    out = {r.node: r.component
+           for r in connected_components_star(path, stats=stats).collect()}
+    assert len(out) == n and set(out.values()) == {0}
+    assert stats["rounds"] <= 2 * math.ceil(math.log2(n)), stats
+
+
+def test_connected_components_star_equiv(spark):
+    """Star alternation computes the identical relation to min-label
+    propagation on a mixed graph (cycles + tails + disjoint pairs +
+    hash-scattered ids, so orientation/min logic is actually exercised)."""
+    from __spider_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+    edges = [(2, 3), (3, 1), (1, 2), (10, 11), (7, 3), (100, 7)]
+    # deterministic scattered component: i*7919 % 997 walks
+    edges += [((i * 7919) % 997 + 200, ((i + 1) * 7919) % 997 + 200)
+              for i in range(40)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    # the 40-edge walk has diameter > the label-prop default max_iter;
+    # the first equivalence run caught label-prop silently returning a
+    # non-fixpoint there — it now raises instead (exact-fixpoint contract)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(df).collect()
+    a = sorted((r.node, r.component)
+               for r in connected_components(df, max_iter=60).collect())
+    b = sorted((r.node, r.component)
+               for r in connected_components_star(df).collect())
+    assert a == b
