@@ -59,7 +59,7 @@ from ..operators.robots import (
     robots_rules_df,
 )
 from ..operators.seen import SeenBloom, filter_unseen
-from ..sources.lakehouse import Lakehouse
+from ..sources.lakehouse import Lakehouse, StagedFragment
 from .detail import detail_index, fetch_details
 
 
@@ -314,33 +314,16 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
     #      YlSpiderMiddleware.py:80-109). Text + outlinks come from ONE
     #      fused parse (extract_page); html is read exactly once, and only
     #      failed fetches keep their raw body (err_html) for the quarantine
-    #      table — the cache never holds payloads for the happy path.
+    #      table — the staged wave artifact never holds happy-path payloads.
     fetched = wave.join(pages_idx, "url_hash", "left")
     if flaky_df is not None:
         fetched = fetched.join(F.broadcast(flaky_df), "url_hash", "left")
     else:
         fetched = fetched.withColumn("fail_times", F.lit(None).cast("int"))
-    extracted = (
-        fetched
-        .withColumn(
-            "status",
-            F.when(F.col("html").isNull(), F.lit(404))
-             .when(F.col("attempts") < F.coalesce(F.col("fail_times"),
-                                                  F.lit(0)), F.lit(503))
-             .otherwise(F.lit(200)))
-        .withColumn("page", extract_page(
-            F.when(F.col("status") == 200, F.col("html"))))
-        .withColumn("text", F.col("page.text"))
-        .withColumn("links", F.col("page.links"))
-        .withColumn("detail_href", F.col("page.detail_href"))
-        .withColumn("err_html",
-                    F.when(F.col("status") != 200, F.col("html")))
-        .drop("html", "page", "fail_times")
-        .cache()
-    )
 
     # every attempt is logged (503s included — the reference logs failed
     # tries too), so fetch_order stays gap-free within the round
+    curation_names: list[str] = []
     curation_cols = []
     if cfg.curate:
         from ..functions.textstats import (
@@ -350,22 +333,62 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
             token_count,
         )
         t = F.col("text")
+        curation_names = ["lang_guess", "quality", "n_tokens", "fingerprint"]
         curation_cols = [
             lang_guess(t).alias("lang_guess"),
             F.round(quality_score(t), 6).alias("quality"),
             token_count(t).alias("n_tokens"),
             fingerprint(t).alias("fingerprint"),
         ]
-    results = extracted.select(
-        "url", "url_hash", "host",
-        F.lit(k).alias("round"), "fetch_order", "status", "text",
-        *curation_cols,
-        F.struct(
-            F.col("parent_url"),
-            F.spark_partition_id().alias("partition_id"),
-            F.col("seed_index"),
-        ).alias("lineage"),
+    # the round's wave artifact: ONE distributed pass does fetch join +
+    # fused extract + curation and WRITES the fragment (staged); every
+    # downstream consumer is a column-pruned read of that parquet, and the
+    # ``results`` table publishes the same files through a manifest
+    # projection (StagedFragment.cols) — the page text crosses memory once
+    # per round instead of three times (wide in-memory cache materialize +
+    # cache re-read + results rewrite in the commit). This is also the
+    # 100 TB shape: a full wave's payloads never sit in executor cache.
+    # err_html (raw body kept for the quarantine table) can only be
+    # non-null when a transient-failure (503) serves a real body — a 404
+    # has no body at all — so without a flaky dim the column is provably
+    # all-null and is not even written.
+    keep_err_html = flaky_df is not None
+    wide = (
+        fetched
+        .withColumn(
+            "status",
+            F.when(F.col("html").isNull(), F.lit(404))
+             .when(F.col("attempts") < F.coalesce(F.col("fail_times"),
+                                                  F.lit(0)), F.lit(503))
+             .otherwise(F.lit(200)))
+        .withColumn("page", extract_page(
+            F.when(F.col("status") == 200, F.col("html"))))
+        .select(
+            "url", "url_hash", "host",
+            F.lit(k).alias("round"), "fetch_order", "status",
+            F.col("page.text").alias("text"),
+            *curation_cols,
+            F.struct(
+                F.col("parent_url"),
+                F.spark_partition_id().alias("partition_id"),
+                F.col("seed_index"),
+            ).alias("lineage"),
+            F.col("page.links").alias("links"),
+            F.col("page.detail_href").alias("detail_href"),
+            "priority", "attempts",
+            *([F.when(F.col("status") != 200, F.col("html"))
+               .alias("err_html")] if keep_err_html else []),
+        )
     )
+    results_cols = ("url", "url_hash", "host", "round", "fetch_order",
+                    "status", "text", *curation_names, "lineage")
+    t0 = _prof("plan building", t0)
+    frag = lake.stage(wide, "results")
+    t0 = _prof("stage wave artifact (fetch, extract, write)", t0)
+    extracted = lake.read_fragment(spark, frag)
+    if not keep_err_html:
+        extracted = extracted.withColumn(
+            "err_html", F.lit(None).cast("binary"))
 
     # 5b. retry pyramid: a transient failure with tries left re-enters the
     #     frontier with decayed priority and attempts+1 (never marked seen);
@@ -377,7 +400,8 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
             "url", "url_hash", "host",
             (F.col("priority") * F.lit(cfg.retry_decay)).alias("priority"),
             F.lit(k + 1).alias("round"),
-            "parent_url", "seed_index",
+            F.col("lineage.parent_url").alias("parent_url"),
+            F.col("lineage.seed_index").alias("seed_index"),
             (F.col("attempts") + 1).alias("attempts"),
         )
     )
@@ -407,7 +431,7 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
             F.explode("links").alias("raw_link"),
             F.col("priority").alias("parent_priority"),
             F.col("url").alias("parent_url"),
-            F.col("seed_index"),
+            F.col("lineage.seed_index").alias("seed_index"),
         )
         # hrefs may be relative / scheme-relative / fragment-only — resolve
         # against the parent page (RFC 3986 §5) before canonicalizing;
@@ -471,22 +495,21 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
     #    any size scale (never collect() wave rows).
     t0 = _prof("plan building", t0)
     # ONE counts-only metrics job: outcome counts + retried + distinct-
-    # discovered as a union of aggregates over the cached extract/discovery
-    # (3 separate actions previously -> 2 extra job-scheduling round-trips
-    # per round). Counts stay counts — an earlier form piggybacked a
-    # sliced collect_list of newly-seen hashes here, which bounded the
-    # DRIVER payload but not the aggregation buffers: every hash of the
-    # round funneled into <=4 reduce tasks (one per outcome group) before
-    # truncation was detectable. The Bloom fold below instead gates on the
-    # count this job already produced and runs its own bounded collect.
-    # materialize the two caches under their own phase label: this is the
-    # round's REAL compute (fetch join + fused extract UDF + link resolve/
-    # hash), previously billed to "metrics counts" because the counts job
-    # happened to be the first action — which read as if the metrics were
-    # expensive. The aggregates below now measurably cost ~nothing.
-    extracted.count()
+    # discovered as a union of aggregates over the staged wave artifact +
+    # cached discovery (3 separate actions previously -> 2 extra
+    # job-scheduling round-trips per round). Counts stay counts — an
+    # earlier form piggybacked a sliced collect_list of newly-seen hashes
+    # here, which bounded the DRIVER payload but not the aggregation
+    # buffers: every hash of the round funneled into <=4 reduce tasks (one
+    # per outcome group) before truncation was detectable. The Bloom fold
+    # below instead gates on the count this job already produced and runs
+    # its own bounded collect.
+    # materialize the discovery cache under its own phase label: link
+    # resolve + canonicalize + hash is the round's second Arrow-UDF pass
+    # (the first — fetch join + fused extract — was billed to the staged
+    # write above). The aggregates below then measurably cost ~nothing.
     discovered.count()
-    t0 = _prof("wave+discovery materialize (fetch, extract, links)", t0)
+    t0 = _prof("discovery materialize (links resolve+hash)", t0)
     metric_rows = (
         newly_seen.groupBy("outcome").agg(F.count("*").alias("n"))
         .unionByName(
@@ -516,19 +539,27 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
 
     if metrics_row["wave"] == 0 and n_blocked == 0 and n_discovered == 0:
         flagged.unpersist()
-        extracted.unpersist()
         discovered.unpersist()
+        lake.discard_staged(frag)
         return None  # frontier exhausted; nothing to commit
 
-    appends = {"seen": newly_seen, "results": results, "errors": errors,
-               "metrics": metrics}
+    # results publish = manifest projection of the already-written wave
+    # artifact (zero extra write; see the staged-write comment above)
+    appends = {"seen": newly_seen,
+               "results": StagedFragment(frag.path, results_cols),
+               "errors": errors, "metrics": metrics}
     # the metrics counts are already on the driver — drop writes that are
     # provably empty (each one is a full Spark job + py4j round-trip; an
     # error-free round was paying for an empty `errors` fragment)
     if n_404 + n_gave_up == 0:
         del appends["errors"]
+    discard_after_round = False
     if metrics_row["wave"] == 0:          # blocked-only round
         del appends["results"]
+        # the fragment is still read by this commit's frontier write
+        # (removal_keys) AND by the post-commit Bloom fold (newly_seen):
+        # discard it only once the round is fully done with it
+        discard_after_round = True
     if n_ok + n_404 + n_gave_up + n_blocked == 0:  # all-retry round
         del appends["seen"]
     if cfg.blend_pagerank_every:
@@ -591,8 +622,9 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
             bloom.merge_raw(delta, n_new_seen)
             t0 = _prof("bloom delta build+merge", t0)
     flagged.unpersist()
-    extracted.unpersist()
     discovered.unpersist()
+    if discard_after_round:
+        lake.discard_staged(frag)
     return metrics_row
 
 

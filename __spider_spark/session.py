@@ -74,7 +74,15 @@ def get_spark(
         .config("spark.driver.extraJavaOptions",
                 os.environ.get("SPIDER_EXTRA_JAVA", ""))
     )
-    for k, v in (extra_conf or {}).items():
+    # experiment/ops override hook: SPIDER_SPARK_CONF="k=v;k=v" applies
+    # last (wins over defaults and extra_conf) — lets bench/scaling
+    # subprocesses A/B a conf knob without plumbing it through every CLI
+    env_conf = os.environ.get("SPIDER_SPARK_CONF", "")
+    merged = dict(extra_conf or {})
+    for kv in filter(None, (s.strip() for s in env_conf.split(";"))):
+        k, _, v = kv.partition("=")
+        merged[k.strip()] = v.strip()
+    for k, v in merged.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.addPyFile(_package_zip())

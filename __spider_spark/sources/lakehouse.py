@@ -35,11 +35,34 @@ import os
 import shutil
 import uuid
 from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
 from pathlib import Path
 
 import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class StagedFragment:
+    """A data dir already written under the lakehouse root, to be published
+    by a later :meth:`Lakehouse.commit` without rewriting.
+
+    ``cols``: optional manifest-level column projection — readers of the
+    table see only these columns, in this order, even though the physical
+    parquet carries more. This is how the crawl round publishes its wave
+    artifact (written ONCE with text + links + error payloads) as the
+    narrow ``results`` table: the Iceberg analogue is committing data files
+    whose schema is a superset of the table schema (column-id projection).
+    Eliminates a second full pass over the page text per round."""
+
+    path: str                      # relative to the lakehouse root
+    cols: tuple[str, ...] | None = None
+
+    def manifest_entry(self) -> object:
+        if self.cols is None:
+            return self.path
+        return {"dir": self.path, "cols": list(self.cols)}
 
 
 class Lakehouse:
@@ -94,6 +117,24 @@ class Lakehouse:
             df.write.mode("overwrite").parquet(str(d))
         return str(d.relative_to(self.root))
 
+    def stage(self, df, table: str) -> StagedFragment:
+        """Write a data dir NOW (distributed job) for a later commit —
+        returns a :class:`StagedFragment` to pass as an append/replace
+        value. A crash before that commit leaves an orphan dir no manifest
+        references (same crash story as a mid-commit write); clean it with
+        :meth:`discard_staged` on aborted rounds."""
+        return StagedFragment(self._write_data(df, table))
+
+    def read_fragment(self, spark: SparkSession,
+                      frag: StagedFragment) -> DataFrame:
+        df = spark.read.parquet(str(self.root / frag.path))
+        if frag.cols is not None:
+            df = df.select(*frag.cols)
+        return df
+
+    def discard_staged(self, frag: StagedFragment) -> None:
+        shutil.rmtree(self.root / frag.path, ignore_errors=True)
+
     def commit(
         self,
         round_id: int,
@@ -107,11 +148,17 @@ class Lakehouse:
         atomic rename. A crash before the final ``os.replace`` leaves the
         previous snapshot intact."""
         snap = self.snapshot()
-        tables: dict[str, list[str]] = {
+        tables: dict[str, list] = {
             k: list(v) for k, v in snap["tables"].items()
         }
-        jobs = [(name, df, "replace") for name, df in (replace or {}).items()]
-        jobs += [(name, df, "append") for name, df in (append or {}).items()]
+        staged = [(name, df, mode)
+                  for src, mode in ((replace, "replace"), (append, "append"))
+                  for name, df in (src or {}).items()
+                  if isinstance(df, StagedFragment)]
+        jobs = [(name, df, mode)
+                for src, mode in ((replace, "replace"), (append, "append"))
+                for name, df in (src or {}).items()
+                if not isinstance(df, StagedFragment)]
         # sequential by default: concurrent write jobs oversubscribe python
         # workers at high local core counts (measured 91s vs 65s at local[32])
         # 2 concurrent write jobs measured best on the bench (25.3s ->
@@ -121,11 +168,13 @@ class Lakehouse:
         n_threads = int(os.environ.get("SPIDER_COMMIT_THREADS", "2"))
         with ThreadPoolExecutor(max_workers=max(n_threads, 1)) as ex:
             paths = list(ex.map(lambda j: self._write_data(j[1], j[0]), jobs))
-        for (name, _, mode), path in zip(jobs, paths):
+        entries = list(zip(jobs, paths)) + [
+            (j, j[1].manifest_entry()) for j in staged]
+        for (name, _, mode), entry in entries:
             if mode == "replace":
-                tables[name] = [path]
+                tables[name] = [entry]
             else:
-                tables.setdefault(name, []).append(path)
+                tables.setdefault(name, []).append(entry)
         v = self._latest_version() + 1
         manifest = {"round": round_id, "tables": tables, "props": props or {}}
         mp = self._manifest_path(v)
@@ -143,7 +192,24 @@ class Lakehouse:
         dirs = self.snapshot(version)["tables"].get(table)
         if not dirs:
             return None
-        return spark.read.parquet(*[str(self.root / d) for d in dirs])
+        plain = [d for d in dirs if isinstance(d, str)]
+        projected = [d for d in dirs if not isinstance(d, str)]
+        parts = []
+        if plain:
+            parts.append(
+                spark.read.parquet(*[str(self.root / d) for d in plain]))
+        for d in projected:
+            # manifest-level column projection (see StagedFragment): the
+            # physical fragment carries a superset schema; the table view
+            # selects the published columns. Parquet is columnar, so the
+            # extra columns cost nothing at read time (column pruning).
+            parts.append(
+                spark.read.parquet(str(self.root / d["dir"]))
+                .select(*d["cols"]))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _compaction_plan(self, spark: SparkSession, table: str,
                          partition_col: str | None = None,
