@@ -101,6 +101,30 @@ class CrawlConfig:
     # analogue) — a year-long crawl otherwise unions thousands of
     # per-round dirs on every seen read. None disables.
     compact_every: int | None = None
+    # retention paired with compaction: after each sweep, keep only the
+    # newest N snapshots and delete fragments no kept snapshot references
+    # (Iceberg expire_snapshots + remove_orphan_files) — without it the
+    # pre-compaction fragments compaction supersedes are retained forever
+    # and disk grows as if compaction never ran. None keeps all history.
+    expire_keep_last: int | None = None
+    # frontier storage strategy. "cow" (copy-on-write): every round
+    # rewrites the whole frontier — read-optimal, but at a 10^10-URL
+    # frontier that is ~1 TB of parquet written PER ROUND for a wave that
+    # touched a fraction of it. "mor" (merge-on-read, the Iceberg/Delta
+    # equality-delete analogue): rounds APPEND only their delta (that
+    # round's discoveries + retries, deduped within the round) and the
+    # read view applies the same deterministic dedup lazily; entries that
+    # left the frontier need no tombstones because they are exactly the
+    # seen set, which the round's Bloom-routed anti-join already removes
+    # read-side. Writes become O(wave), not O(frontier). Dedup is an
+    # argmin over a total-order key, so read-time dedup over base ∪ adds
+    # composes to the identical logical frontier (pinned by the
+    # simulator-equivalence test in both modes). Folds (full rewrites)
+    # happen on PageRank-blend rounds (blend needs the materialized
+    # frontier) and every frontier_fold_every rounds to bound fragment
+    # count and garbage — the same cadence trade as compact_every.
+    frontier_mode: str = "cow"
+    frontier_fold_every: int | None = None
     # optional single-task-window fallback for tiny waves; measured SLOWER
     # than the parallel rank at bench scale (the fallback's count() action
     # re-materializes the clip chain: 22.0s vs 20.8s on the 3-round
@@ -280,6 +304,11 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
     frontier = lake.read(spark, "frontier")
     if frontier is None:
         return None
+    if cfg.frontier_mode == "mor":
+        # merge-on-read view: the table holds base + per-round delta
+        # fragments; apply the deterministic dedup lazily (same rule the
+        # cow mode applies at write time — see CrawlConfig.frontier_mode)
+        frontier = _dedup_frontier(frontier)
     seen = lake.read(spark, "seen")
     t0 = _prof("read state", t0)
 
@@ -562,6 +591,15 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
         discard_after_round = True
     if n_ok + n_404 + n_gave_up + n_blocked == 0:  # all-retry round
         del appends["seen"]
+    # mor rounds append their delta instead of rewriting the frontier;
+    # blend rounds and the fold cadence still materialize (see config)
+    fold_frontier = (
+        cfg.frontier_mode != "mor"
+        or (cfg.blend_pagerank_every
+            and k % cfg.blend_pagerank_every == 0)
+        or (cfg.frontier_fold_every
+            and k % cfg.frontier_fold_every == 0)
+    )
     if cfg.blend_pagerank_every:
         # discovered-link edge relation for the PageRank blend: one row per
         # resolved outlink occurrence (duplicates carry out-degree weight)
@@ -594,10 +632,21 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
         appends["details"] = fetch_details(
             extracted.filter(F.col("status") == 200), detail_idx
         ).withColumn("round", F.lit(k))
+    if fold_frontier:
+        replace = {"frontier": new_frontier}
+    else:
+        replace = {}
+        if n_discovered + n_retried > 0:
+            # round delta only — O(wave) write; dedup scoped to the round
+            # (cross-round resolution happens in the read view). An
+            # all-terminal round appends nothing: the frontier shrinks
+            # logically via the read-side seen anti-join alone.
+            appends["frontier"] = _dedup_frontier(
+                discovered.unionByName(retries))
     lake.commit(
         k,
         append=appends,
-        replace={"frontier": new_frontier},
+        replace=replace,
     )
     t0 = _prof("commit (5 table writes)", t0)
     if bloom is not None:
@@ -701,6 +750,10 @@ def run_crawl(spark: SparkSession, lake: Lakehouse, pages: DataFrame,
             lake.compact_many(
                 spark, ["seen", "results", "errors", "details", "metrics",
                         "edges"])
+            if cfg.expire_keep_last:
+                # safe point: the round's commit landed and no staged
+                # fragment is in flight (expire reaps unreferenced dirs)
+                lake.expire_snapshots(cfg.expire_keep_last)
     if own_idx:
         idx.unpersist()
     if detail_idx is not None:

@@ -249,6 +249,51 @@ class Lakehouse:
         self.commit(self.latest_round(), replace=plans,
                     props={"compacted": ",".join(sorted(plans))})
 
+    @staticmethod
+    def _entry_dir(entry) -> str:
+        return entry["dir"] if isinstance(entry, dict) else entry
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Drop all but the newest ``keep_last`` snapshots and delete data
+        dirs no kept snapshot references (Iceberg ``expire_snapshots`` +
+        ``remove_orphan_files`` in one pass — without it a year-long crawl
+        retains every pre-compaction fragment and every superseded frontier
+        forever, so compaction never actually reclaims space).
+
+        Maintenance-only: run it between rounds, from the process that owns
+        the crawl — a fragment staged by an IN-FLIGHT round is unreferenced
+        by construction until its commit lands, and this pass would reap it
+        (Iceberg has the same orphan-scan caveat). Reads of expired versions
+        raise the normal missing-snapshot error; kept versions still
+        time-travel exactly. Returns {"manifests": n, "data_dirs": n,
+        "bytes": n} reclaimed."""
+        versions = self.versions()
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        kept, expired = versions[-keep_last:], versions[:-keep_last]
+        keep_dirs = {
+            self._entry_dir(e)
+            for v in kept
+            for dirs in self.snapshot(v)["tables"].values()
+            for e in dirs
+        }
+        reclaimed = {"manifests": 0, "data_dirs": 0, "bytes": 0}
+        for table_dir in self.root.iterdir():
+            if table_dir.name == "_manifests" or not table_dir.is_dir():
+                continue
+            for frag in table_dir.iterdir():
+                rel = str(frag.relative_to(self.root))
+                if rel in keep_dirs:
+                    continue
+                reclaimed["bytes"] += sum(
+                    f.stat().st_size for f in frag.rglob("*") if f.is_file())
+                shutil.rmtree(frag, ignore_errors=True)
+                reclaimed["data_dirs"] += 1
+        for v in expired:
+            self._manifest_path(v).unlink(missing_ok=True)
+            reclaimed["manifests"] += 1
+        return reclaimed
+
     def has_table(self, table: str) -> bool:
         return bool(self.snapshot()["tables"].get(table))
 

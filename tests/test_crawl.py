@@ -342,3 +342,145 @@ def test_auto_compaction_preserves_crawl(spark):
     assert sweeps and all("seen" in s and "results" in s
                           and "metrics" in s for s in sweeps)
     assert "errors" in sweeps[-1]
+
+
+def test_expire_snapshots_reclaims_and_preserves_latest(spark):
+    """Iceberg expire_snapshots + remove_orphan_files parity: dropping
+    history reclaims the superseded pre-compaction fragments (disk
+    actually shrinks) while the live snapshot reads bit-identically and
+    expired versions raise the missing-snapshot error."""
+    import tempfile as _tf
+    lake = Lakehouse(_tf.mkdtemp(prefix="lake_exp_"))
+    pages = generate_pages(spark, N, HOSTS)
+    run_crawl(spark, lake, pages, make_seeds(spark, N, SEEDS, HOSTS),
+              _cfg(), ROUNDS)
+    lake.compact_many(spark, ["seen", "results", "metrics"])
+    before = {t: lake.read(spark, t).count()
+              for t in ("seen", "results", "metrics")}
+    res_before = sorted(
+        (r["url_hash"], r["round"], r["fetch_order"], r["status"])
+        for r in lake.read(spark, "results").collect())
+    versions = lake.versions()
+    rec = lake.expire_snapshots(keep_last=1)
+    assert rec["manifests"] == len(versions) - 1
+    assert rec["data_dirs"] > 0 and rec["bytes"] > 0
+    for t, n in before.items():
+        assert lake.read(spark, t).count() == n
+    assert sorted(
+        (r["url_hash"], r["round"], r["fetch_order"], r["status"])
+        for r in lake.read(spark, "results").collect()) == res_before
+    with pytest.raises(ValueError):
+        lake.snapshot(versions[0])
+    # on-disk fragment dirs are EXACTLY the kept manifest's references
+    refd = {Lakehouse._entry_dir(e)
+            for dirs in lake.snapshot()["tables"].values() for e in dirs}
+    on_disk = {f"{t.name}/{f.name}" for t in lake.root.iterdir()
+               if t.is_dir() and t.name != "_manifests"
+               for f in t.iterdir()}
+    assert on_disk == refd
+    lake.destroy()
+
+
+def test_crawl_with_expiry_matches_reference(spark, sim):
+    """Retention wired into the crawl maintenance pass must not change
+    crawl behavior: waves match the simulator exactly, and the lakehouse
+    ends with only keep_last manifests on disk."""
+    import tempfile as _tf
+    lake = Lakehouse(_tf.mkdtemp(prefix="lake_expw_"))
+    cfg = _cfg()
+    cfg.compact_every = 2
+    cfg.expire_keep_last = 1
+    pages = generate_pages(spark, N, HOSTS)
+    run_crawl(spark, lake, pages, make_seeds(spark, N, SEEDS, HOSTS),
+              cfg, ROUNDS)
+    got_waves = [
+        [r.url_hash for r in lake.read(spark, "results")
+         .filter(F.col("round") == k).orderBy("fetch_order").collect()]
+        for k in range(1, ROUNDS + 1)
+    ]
+    assert got_waves == sim.waves
+    # last sweep ran at round 4 = ROUNDS, so exactly 1 manifest remains
+    # plus the post-sweep... (no commits after the final sweep)
+    assert len(lake.versions()) <= 2
+    lake.destroy()
+
+
+def test_mor_frontier_matches_reference_and_restart(spark, sim):
+    """Merge-on-read frontier (append round deltas + read-side dedup)
+    must be observationally identical to copy-on-write: waves match the
+    simulator exactly, restart resumes identically, and the frontier
+    table really is delta-appended (fragments accumulate between folds)."""
+    import tempfile as _tf
+    cfg = _cfg()
+    cfg.frontier_mode = "mor"
+    cfg.frontier_fold_every = 3
+    pages = generate_pages(spark, N, HOSTS)
+    seeds = make_seeds(spark, N, SEEDS, HOSTS)
+
+    lake = Lakehouse(_tf.mkdtemp(prefix="lake_mor_"))
+    run_crawl(spark, lake, pages, seeds, cfg, ROUNDS)
+    got_waves = [
+        [r.url_hash for r in lake.read(spark, "results")
+         .filter(F.col("round") == k).orderBy("fetch_order").collect()]
+        for k in range(1, ROUNDS + 1)
+    ]
+    assert got_waves == sim.waves
+    assert {r.url_hash
+            for r in lake.read(spark, "seen").collect()} == sim.seen
+
+    # delta-append really happened: before the round-3 fold the frontier
+    # manifest lists base + per-round delta fragments
+    frags_by_version = [
+        len(lake.snapshot(v)["tables"].get("frontier", []))
+        for v in lake.versions()
+    ]
+    assert max(frags_by_version) > 1, "mor never appended a delta"
+    # the fold collapses the list back to one fragment
+    assert 1 in frags_by_version[2:], "fold cadence never materialized"
+
+    # restart equivalence in mor mode
+    lake2 = Lakehouse(_tf.mkdtemp(prefix="lake_mor2_"))
+    run_crawl(spark, lake2, pages, seeds, cfg, 2)
+    run_crawl(spark, lake2, pages, seeds, cfg, ROUNDS)
+    a = sorted((r["url_hash"], r["round"], r["fetch_order"], r["status"])
+               for r in lake.read(spark, "results").collect())
+    b = sorted((r["url_hash"], r["round"], r["fetch_order"], r["status"])
+               for r in lake2.read(spark, "results").collect())
+    assert a == b
+    lake.destroy()
+    lake2.destroy()
+
+
+def test_mor_with_retries_and_blend_matches_sim(spark):
+    """mor × the risky interactions: transient-failure retries (the
+    attempts-ranked dedup must resolve base-vs-delta duplicates so a
+    rediscovery can't reset a retry counter) and PageRank blend rounds
+    (which force folds mid-crawl)."""
+    import tempfile as _tf
+    from __spider_spark.sources.pages import canonical_url
+    flaky = {canonical_url(2, HOSTS): 1}
+    cfg = CrawlConfig(
+        default_budget=4, budgets=dict(BUDGETS), robots=dict(ROBOTS),
+        use_bloom=True, bloom_parts=4, bloom_bits_per_part=1 << 16,
+        bloom_min_seen=0, flaky=dict(flaky),
+        blend_pagerank_every=2, blend_iters=3, blend_weight=0.5,
+        frontier_mode="mor",
+    )
+    lake = Lakehouse(_tf.mkdtemp(prefix="lake_morb_"))
+    run_crawl(spark, lake, generate_pages(spark, N, HOSTS),
+              make_seeds(spark, N, SEEDS, HOSTS), cfg, ROUNDS)
+    s = simulate_crawl(
+        _pages_dict(), seed_urls(N, SEEDS, HOSTS), ROUNDS,
+        default_budget=4, budgets=dict(BUDGETS), robots=dict(ROBOTS),
+        flaky=dict(flaky), blend_pagerank_every=2, blend_iters=3,
+        blend_weight=0.5,
+    )
+    got = [
+        [r.url_hash for r in lake.read(spark, "results")
+         .filter(F.col("round") == k).orderBy("fetch_order").collect()]
+        for k in range(1, ROUNDS + 1)
+    ]
+    assert got == s.waves
+    assert {r.url_hash for r in lake.read(spark, "seen").collect()} \
+        == s.seen
+    lake.destroy()
