@@ -22,7 +22,8 @@ VARIANTS: dict[str, str] = {
     "base": "",
     "zstd": "spark.io.compression.codec=zstd",
     "arrow2k": "spark.sql.execution.arrow.maxRecordsPerBatch=2000",
-    "arrow1k": "spark.sql.execution.arrow.maxRecordsPerBatch=1000",
+    "pq_zstd": "spark.sql.parquet.compression.codec=zstd",
+    "pq_lz4": "spark.sql.parquet.compression.codec=lz4",
     "zstd+arrow2k": ("spark.io.compression.codec=zstd;"
                      "spark.sql.execution.arrow.maxRecordsPerBatch=2000"),
 }
