@@ -193,19 +193,25 @@ class Lakehouse:
         if not dirs:
             return None
         plain = [d for d in dirs if isinstance(d, str)]
-        projected = [d for d in dirs if not isinstance(d, str)]
         parts = []
         if plain:
             parts.append(
                 spark.read.parquet(*[str(self.root / d) for d in plain]))
-        for d in projected:
-            # manifest-level column projection (see StagedFragment): the
-            # physical fragment carries a superset schema; the table view
-            # selects the published columns. Parquet is columnar, so the
-            # extra columns cost nothing at read time (column pruning).
+        # manifest-level column projection (see StagedFragment): the
+        # physical fragment carries a superset schema; the table view
+        # selects the published columns. Parquet is columnar, so the
+        # extra columns cost nothing at read time (column pruning).
+        # Fragments sharing a projection read as ONE multi-path scan —
+        # a long mor/append history must not become a chain of hundreds
+        # of per-fragment unions in the logical plan.
+        by_proj: dict[tuple, list[str]] = {}
+        for d in dirs:
+            if not isinstance(d, str):
+                by_proj.setdefault(tuple(d["cols"]), []).append(d["dir"])
+        for cols, ds in by_proj.items():
             parts.append(
-                spark.read.parquet(str(self.root / d["dir"]))
-                .select(*d["cols"]))
+                spark.read.parquet(*[str(self.root / d) for d in ds])
+                .select(*cols))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

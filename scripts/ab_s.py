@@ -18,7 +18,9 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
-VARIANTS: dict[str, str] = {
+import json as _json
+_env_variants = os.environ.get("AB_VARIANTS")
+VARIANTS: dict[str, str] = _json.loads(_env_variants) if _env_variants else {
     "base": "",
     "zstd": "spark.io.compression.codec=zstd",
     "arrow2k": "spark.sql.execution.arrow.maxRecordsPerBatch=2000",
