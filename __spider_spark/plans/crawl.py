@@ -179,6 +179,25 @@ class CrawlConfig:
     # (default_budget × hosts), so the inline path is the common case.
     bloom_inline_max: int = 65_536
 
+    def __post_init__(self) -> None:
+        # an unknown mode string ("MOR", "merge-on-read", a typo) must not
+        # silently fall back to cow full rewrites — that negates the whole
+        # O(wave)-writes design with no error anywhere (ADVICE r5)
+        if self.frontier_mode not in ("cow", "mor"):
+            raise ValueError(
+                f"frontier_mode must be 'cow' or 'mor', got "
+                f"{self.frontier_mode!r}")
+        if (self.frontier_mode == "mor"
+                and self.frontier_fold_every is None
+                and self.blend_pagerank_every is None):
+            # with no fold trigger at all, mor accumulates one fragment per
+            # round forever (plus all dead/seen entries, re-deduped in full
+            # on every read) and compact_many doesn't cover the frontier —
+            # default a cadence so a plain mor config stays bounded
+            # (ADVICE r5). Callers that want a different trade set it
+            # explicitly.
+            self.frontier_fold_every = 32
+
 
 def _dedup_frontier(df: DataFrame) -> DataFrame:
     """Deterministic duplicate resolution on url_hash: keep
@@ -697,6 +716,12 @@ def run_crawl(spark: SparkSession, lake: Lakehouse, pages: DataFrame,
     picks up from the last committed snapshot — SURVEY.md §2.9 resume)."""
     if lake.latest_round() < 0:
         init_crawl(spark, lake, seeds, cfg)
+    else:
+        # resume: sweep fragments orphaned by a crash between stage() and
+        # commit() in the previous process (a wave-sized leak per crash
+        # otherwise). Safe here by construction: this process hasn't
+        # staged anything yet, so nothing can be legitimately in flight.
+        lake.remove_orphans()
     bloom = None
     if cfg.use_bloom:
         bloom = SeenBloom(cfg.bloom_parts, cfg.bloom_bits_per_part,

@@ -79,9 +79,16 @@ def get_spark(
     # subprocesses A/B a conf knob without plumbing it through every CLI
     env_conf = os.environ.get("SPIDER_SPARK_CONF", "")
     merged = dict(extra_conf or {})
+    env_applied = []
     for kv in filter(None, (s.strip() for s in env_conf.split(";"))):
         k, _, v = kv.partition("=")
         merged[k.strip()] = v.strip()
+        env_applied.append(f"{k.strip()}={v.strip()}")
+    if env_applied:
+        # visible trace: a stale shell export from an A/B run otherwise
+        # invisibly changes engine configuration (ADVICE r5)
+        print("[__spider_spark] SPIDER_SPARK_CONF overrides: "
+              + "; ".join(env_applied), flush=True)
     for k, v in merged.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -33,6 +33,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
@@ -259,7 +260,8 @@ class Lakehouse:
     def _entry_dir(entry) -> str:
         return entry["dir"] if isinstance(entry, dict) else entry
 
-    def expire_snapshots(self, keep_last: int = 1) -> dict:
+    def expire_snapshots(self, keep_last: int = 1,
+                         min_age_seconds: float = 0.0) -> dict:
         """Drop all but the newest ``keep_last`` snapshots and delete data
         dirs no kept snapshot references (Iceberg ``expire_snapshots`` +
         ``remove_orphan_files`` in one pass — without it a year-long crawl
@@ -269,14 +271,23 @@ class Lakehouse:
         Maintenance-only: run it between rounds, from the process that owns
         the crawl — a fragment staged by an IN-FLIGHT round is unreferenced
         by construction until its commit lands, and this pass would reap it
-        (Iceberg has the same orphan-scan caveat). Reads of expired versions
+        (Iceberg has the same orphan-scan caveat; ``min_age_seconds`` is
+        the belt-and-braces analogue of remove_orphan_files' ``older_than``
+        — dirs younger than it are never reaped). Reads of expired versions
         raise the normal missing-snapshot error; kept versions still
         time-travel exactly. Returns {"manifests": n, "data_dirs": n,
         "bytes": n} reclaimed."""
         versions = self.versions()
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
+        if not versions:
+            # zero committed manifests => keep_dirs would be empty and the
+            # sweep would delete EVERY data dir under root, including
+            # fragments staged for a first commit (ADVICE r5) — nothing to
+            # expire, so do nothing
+            return {"manifests": 0, "data_dirs": 0, "bytes": 0}
         kept, expired = versions[-keep_last:], versions[:-keep_last]
+        now = time.time()
         keep_dirs = {
             self._entry_dir(e)
             for v in kept
@@ -291,6 +302,12 @@ class Lakehouse:
                 rel = str(frag.relative_to(self.root))
                 if rel in keep_dirs:
                     continue
+                if min_age_seconds > 0:
+                    try:
+                        if now - frag.stat().st_mtime < min_age_seconds:
+                            continue
+                    except OSError:
+                        continue
                 reclaimed["bytes"] += sum(
                     f.stat().st_size for f in frag.rglob("*") if f.is_file())
                 shutil.rmtree(frag, ignore_errors=True)
@@ -298,6 +315,48 @@ class Lakehouse:
         for v in expired:
             self._manifest_path(v).unlink(missing_ok=True)
             reclaimed["manifests"] += 1
+        return reclaimed
+
+    def remove_orphans(self, min_age_seconds: float = 0.0) -> dict:
+        """Delete data dirs referenced by NO manifest of ANY version —
+        fragments orphaned by a crash between :meth:`stage` and
+        :meth:`commit` (without this, a long crawl leaks one wave-sized
+        dir — text + links + err_html payloads — per crash, and restart
+        never sweeps it; ADVICE r5). Unlike :meth:`expire_snapshots` this
+        keeps every committed snapshot: only never-published dirs go.
+
+        Only safe when no fragment can legitimately be in flight — e.g. at
+        crawl resume, before the first ``stage()`` of the new process
+        (:func:`plans.crawl.run_crawl` calls it there). With zero committed
+        manifests every dir is presumed in flight and nothing is touched.
+        Returns {"data_dirs": n, "bytes": n} reclaimed."""
+        if not self.versions():
+            return {"data_dirs": 0, "bytes": 0}
+        referenced = {
+            self._entry_dir(e)
+            for v in self.versions()
+            for dirs in self.snapshot(v)["tables"].values()
+            for e in dirs
+        }
+        now = time.time()
+        reclaimed = {"data_dirs": 0, "bytes": 0}
+        for table_dir in self.root.iterdir():
+            if table_dir.name == "_manifests" or not table_dir.is_dir():
+                continue
+            for frag in table_dir.iterdir():
+                rel = str(frag.relative_to(self.root))
+                if rel in referenced:
+                    continue
+                if min_age_seconds > 0:
+                    try:
+                        if now - frag.stat().st_mtime < min_age_seconds:
+                            continue
+                    except OSError:
+                        continue
+                reclaimed["bytes"] += sum(
+                    f.stat().st_size for f in frag.rglob("*") if f.is_file())
+                shutil.rmtree(frag, ignore_errors=True)
+                reclaimed["data_dirs"] += 1
         return reclaimed
 
     def has_table(self, table: str) -> bool:

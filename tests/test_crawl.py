@@ -484,3 +484,63 @@ def test_mor_with_retries_and_blend_matches_sim(spark):
     assert {r.url_hash for r in lake.read(spark, "seen").collect()} \
         == s.seen
     lake.destroy()
+
+
+def test_crawl_config_validation_and_mor_fold_default():
+    """ADVICE r5: an unknown frontier_mode must raise (not silently fall
+    back to cow), and a plain mor config with no fold trigger gets a
+    default fold cadence so fragments/garbage stay bounded."""
+    with pytest.raises(ValueError, match="frontier_mode"):
+        CrawlConfig(frontier_mode="merge-on-read")
+    with pytest.raises(ValueError, match="frontier_mode"):
+        CrawlConfig(frontier_mode="MOR")
+    assert CrawlConfig(frontier_mode="mor").frontier_fold_every is not None
+    # an explicit trigger is respected, not overridden
+    assert CrawlConfig(frontier_mode="mor",
+                       frontier_fold_every=7).frontier_fold_every == 7
+    assert CrawlConfig(frontier_mode="mor",
+                       blend_pagerank_every=2).frontier_fold_every is None
+    assert CrawlConfig().frontier_fold_every is None  # cow untouched
+
+
+def test_expire_snapshots_empty_lake_is_noop(spark):
+    """ADVICE r5: expire on a lake with ZERO committed manifests must not
+    reap dirs (they can only be fragments staged for a first commit)."""
+    import tempfile as _tf
+    lake = Lakehouse(_tf.mkdtemp(prefix="lake_empty_"))
+    frag = lake.stage(spark.range(5).toDF("x"), "results")
+    rec = lake.expire_snapshots(keep_last=1)
+    assert rec == {"manifests": 0, "data_dirs": 0, "bytes": 0}
+    assert (lake.root / frag.path).exists()
+    # and the age threshold protects young dirs even with commits present
+    lake.commit(0, replace={"seen": spark.range(3).toDF("url_hash")})
+    lake.commit(1, replace={"seen": spark.range(4).toDF("url_hash")})
+    rec = lake.expire_snapshots(keep_last=1, min_age_seconds=3600)
+    assert rec["data_dirs"] == 0  # everything is seconds old
+    rec = lake.expire_snapshots(keep_last=1)
+    assert rec["data_dirs"] > 0  # without the threshold the sweep reaps
+    lake.destroy()
+
+
+def test_resume_sweeps_orphaned_staged_fragment(spark, sim):
+    """ADVICE r5: a crash between stage() and commit() leaves a wave-sized
+    orphan dir; resume must sweep it (no manifest references it and
+    nothing is in flight at resume), while committed fragments and crawl
+    behavior stay untouched."""
+    import tempfile as _tf
+    lake = Lakehouse(_tf.mkdtemp(prefix="lake_orph_"))
+    pages = generate_pages(spark, N, HOSTS)
+    seeds = make_seeds(spark, N, SEEDS, HOSTS)
+    run_crawl(spark, lake, pages, seeds, _cfg(), 2)
+    # simulate the crash: a staged-but-never-committed wave artifact
+    orphan = lake.stage(spark.range(10).toDF("x"), "results")
+    assert (lake.root / orphan.path).exists()
+    run_crawl(spark, lake, pages, seeds, _cfg(), ROUNDS)  # resume
+    assert not (lake.root / orphan.path).exists(), "orphan not swept"
+    got_waves = [
+        [r.url_hash for r in lake.read(spark, "results")
+         .filter(F.col("round") == k).orderBy("fetch_order").collect()]
+        for k in range(1, ROUNDS + 1)
+    ]
+    assert got_waves == sim.waves  # sweep changed nothing observable
+    lake.destroy()
