@@ -142,25 +142,51 @@ def main() -> None:
     best_pair = max(pairs, key=eff_of)
     med_lo = round(statistics.median(p[0]["urls_per_sec"] for p in pairs), 1)
     med_hi = round(statistics.median(p[1]["urls_per_sec"] for p in pairs), 1)
+    # labels derive from the masters the jobs ACTUALLY ran (reported in
+    # each trial's JSON), never from a hardcoded layout assumption
+    # (VERDICT r5 "what's wrong" #2)
+    label_n = pairs[0][0]["master"]
+    label_4n = pairs[0][1]["master"]
+    scale_env = {k: v for k, v in _os.environ.items()
+                 if k.startswith("SCALE_") or k == "SPIDER_SPARK_CONF"}
+    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
     summary = {
+        "stamp": stamp, "mode": mode,
         "n_cores": n, "n4_cores": 4 * n,
+        "layout_n": {"master": label_n,
+                     "n_exec": pairs[0][0]["n_exec"],
+                     "exec_cores": pairs[0][0]["exec_cores"],
+                     "shuffle_partitions": pairs[0][0][
+                         "shuffle_partitions"]},
+        "layout_4n": {"master": label_4n,
+                      "n_exec": pairs[0][1]["n_exec"],
+                      "exec_cores": pairs[0][1]["exec_cores"],
+                      "shuffle_partitions": pairs[0][1][
+                          "shuffle_partitions"]},
+        "taskset": taskset_on, "tmpfs": bool(scratch),
+        "env": scale_env,
         "pairs": [
             {"thr_n": p[0]["urls_per_sec"], "steal_n": p[0]["steal_pct"],
              "thr_4n": p[1]["urls_per_sec"], "steal_4n": p[1]["steal_pct"],
+             "mem_avail_gb_n": p[0].get("mem_avail_gb"),
+             "mem_avail_gb_4n": p[1].get("mem_avail_gb"),
              "eff": eff_of(p)} for p in pairs],
         "median_eff": med_eff,
         "median_thr_n": med_lo, "median_thr_4n": med_hi,
         "best_pair_eff": eff_of(best_pair),
         "pages": n_pages, "seeds": n_seeds, "rounds": rounds,
+        "weight": weight,
     }
     print(json.dumps(summary))
-
-    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
-    if mode == "cluster":
-        label_n = f"local-cluster[{max(n // 4, 1)}×4cores]"
-        label_4n = f"local-cluster[{max(n, 1)}×4cores]"
-    else:
-        label_n, label_4n = f"local[{n}]", f"local[{4 * n}]"
+    # machine-readable campaign artifact: each campaign appends to the
+    # round's SCALING json (a list), so the BENCH.md prose is reproducible
+    # from data alone
+    out_json = Path(_os.environ.get("SCALE_OUT_JSON",
+                                    REPO / "SCALING_r6.json"))
+    hist = (json.loads(out_json.read_text())
+            if out_json.exists() else [])
+    hist.append(summary)
+    out_json.write_text(json.dumps(hist, indent=1))
     notes = ""
     if scratch:
         notes += ("\nInput store, lakehouse, and spark.local.dir on tmpfs "

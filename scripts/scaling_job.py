@@ -31,13 +31,24 @@ def main() -> None:
     n_seeds = int(sys.argv[4])
     rounds = int(sys.argv[5])
     mode = sys.argv[6] if len(sys.argv) > 6 else "local"
+    n_exec = exec_cores = None
     if mode == "cluster":
         # multi-JVM executors (local-cluster[n,cores,memMB]): each executor
         # is a separate JVM + its own Python workers — the faithful sandbox
         # analogue of N executors on a real cluster, and the control for the
         # single-JVM local[32] kernel-contention artifact (BENCH.md)
-        exec_cores = int(os.environ.get("SCALE_EXEC_CORES", "4"))
-        n_exec = max(cores // exec_cores, 1)
+        exec_cores = int(os.environ.get("SCALE_EXEC_CORES", "2"))
+        # the layout must tile the taskset mask EXACTLY: with exec_cores >
+        # cores the old default quietly ran 1 executor with exec_cores task
+        # slots squeezed onto `cores` physical CPUs — an oversubscribed N
+        # leg vs an exact 4N leg (VERDICT r5 "what's wrong" #2). Raise
+        # instead of measuring an asymmetric protocol.
+        if cores % exec_cores:
+            raise SystemExit(
+                f"cores={cores} not divisible by SCALE_EXEC_CORES="
+                f"{exec_cores}: executor layout would not tile the taskset "
+                f"mask; pick exec_cores dividing both legs")
+        n_exec = cores // exec_cores
         master = f"local-cluster[{n_exec},{exec_cores},4096]"
         # ActiveProcessorCount: each executor JVM must size its GC/JIT
         # thread pools for ITS core allocation, not the whole box — without
@@ -98,6 +109,11 @@ def main() -> None:
         "cores": cores, "elapsed_sec": round(elapsed, 2),
         "urls_fetched": fetched,
         "urls_per_sec": round(fetched / elapsed, 1),
+        # the ACTUAL layout that ran, so the campaign artifact/labels are
+        # derived from ground truth, never from a hardcoded assumption
+        "master": master,
+        "n_exec": n_exec, "exec_cores": exec_cores,
+        "shuffle_partitions": parts,
     }))
     if local_dir:
         # each trial removes ITS shuffle scratch: back-to-back trials were
