@@ -71,12 +71,19 @@ def bench_queries(
         # UDF-free included, uniformly ~2x inflated at 0% steal —
         # BENCH.md §Round-4). Interference only ever ADDS time, so the
         # min is the least-interfered estimate of the engine's cost.
-        # BOTH raw runs are emitted in the artifact (queries_runs) so any
+        # ALL raw runs are emitted in the artifact (queries_runs) so any
         # round-over-round comparison can be made same-basis (r4 VERDICT
         # "What's wrong" #1): runs[0] is the cold/first-run basis, min()
-        # the best-of-2 basis.
+        # the best-of-N basis. Sub-2s micro-queries get a third run
+        # (r5 VERDICT next-round #6: their 1.4-2.6x run-to-run spread made
+        # weather vs regression undecidable from two samples; the third
+        # costs < 2s each and makes the spread visible per entry).
         runs: list[float] = []
         for _ in range(2):
+            t0 = time.perf_counter()
+            _force(qs[name](spark, sf_dir))
+            runs.append(round(time.perf_counter() - t0, 3))
+        if min(runs) < 2.0:
             t0 = time.perf_counter()
             _force(qs[name](spark, sf_dir))
             runs.append(round(time.perf_counter() - t0, 3))
