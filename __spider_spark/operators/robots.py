@@ -26,6 +26,7 @@ Semantics (Google's documented robots rules):
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass, field
 
@@ -110,6 +111,32 @@ def robots_budgets(robots_bodies: dict[str, str],
         delay = parse_robots(body).crawl_delay
         if delay and delay > 0:
             out[host] = max(1, int(round_seconds / delay))
+    return out
+
+
+def robots_budgets_carry(robots_bodies: dict[str, str], round_k: int,
+                         round_seconds: float = 60.0) -> dict[str, int]:
+    """Schedule-aware variant of :func:`robots_budgets`: the fractional
+    remainder of ``round_seconds / crawl_delay`` carries across rounds, so
+    a host allowed 2.5 polite fetches per round gets 5 every 2 rounds
+    (2, 3, 2, 3, ...) instead of a truncated 2 every round — and a host
+    whose delay exceeds the round (rate < 1) is correctly fetched only
+    every ⌈1/rate⌉-th round instead of once EVERY round (the ``max(1, …)``
+    floor in the plain form over-fetches such hosts).
+
+    Stateless by construction: budget(k) = ⌊k·rate⌋ − ⌊(k−1)·rate⌋ is a
+    pure function of the round number, so restart/resume needs no carry
+    state column and any round's budget can be recomputed exactly. The
+    float expression is evaluated as ``(k · round_seconds) / delay`` in
+    one IEEE-double division — the engine's Column twin uses the same
+    op order, so both sides floor the identical bits."""
+    out = {}
+    for host, body in robots_bodies.items():
+        delay = parse_robots(body).crawl_delay
+        if delay and delay > 0:
+            out[host] = int(math.floor((round_k * round_seconds) / delay)
+                            - math.floor(((round_k - 1) * round_seconds)
+                                         / delay))
     return out
 
 
@@ -198,16 +225,36 @@ def robots_gate(df: DataFrame, rules_df: DataFrame | None,
 
 
 def budgets_from_rules(rules_df: DataFrame,
-                       round_seconds: float = 60.0) -> DataFrame:
+                       round_seconds: float = 60.0,
+                       round_k: int | None = None) -> DataFrame:
     """Crawl-delay directives → per-host politeness budgets, computed as a
-    pure Column expression on the rules dimension (no driver parsing)."""
+    pure Column expression on the rules dimension (no driver parsing).
+
+    With ``round_k`` set, the fractional remainder of
+    ``round_seconds / crawl_delay`` carries across rounds:
+    budget(k) = ⌊k·rate⌋ − ⌊(k−1)·rate⌋ — a pure function of the round
+    number (no carry state to persist; restart-exact by construction).
+    Float op order matches :func:`robots_budgets_carry` exactly
+    (one double division of the premultiplied numerator), so the
+    simulator floors identical bits. A rate < 1 host then yields
+    budget 0 on most rounds — the row is KEPT (budget 0 must override
+    the clip's default, not fall through to it)."""
+    if round_k is None:
+        return (
+            rules_df.filter(F.col("crawl_delay") > 0)
+            .select(
+                "host",
+                F.greatest(
+                    F.lit(1),
+                    F.floor(F.lit(round_seconds) / F.col("crawl_delay"))
+                ).cast("int").alias("budget"),
+            )
+        )
+    hi = F.floor(F.lit(float(round_k) * round_seconds)
+                 / F.col("crawl_delay"))
+    lo = F.floor(F.lit(float(round_k - 1) * round_seconds)
+                 / F.col("crawl_delay"))
     return (
         rules_df.filter(F.col("crawl_delay") > 0)
-        .select(
-            "host",
-            F.greatest(
-                F.lit(1),
-                F.floor(F.lit(round_seconds) / F.col("crawl_delay"))
-            ).cast("int").alias("budget"),
-        )
+        .select("host", (hi - lo).cast("int").alias("budget"))
     )

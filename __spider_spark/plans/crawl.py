@@ -96,6 +96,16 @@ class CrawlConfig:
     # scheduling-round wall budget used to turn robots Crawl-delay
     # directives into per-host budgets (reference analogue: DOWNLOAD_DELAY)
     round_seconds: float = 60.0
+    # schedule-aware budgets: carry the fractional remainder of
+    # round_seconds / Crawl-delay across rounds — a host allowed 2.5
+    # fetches/round gets 5 every 2 rounds (2,3,2,3,...) instead of a
+    # truncated 2 every round, and a slower-than-round host (rate < 1)
+    # is fetched only every ⌈1/rate⌉-th round instead of once every
+    # round. budget(k) = ⌊k·rate⌋ − ⌊(k−1)·rate⌋ is a pure function of
+    # the round number, so no carry state is persisted and resume is
+    # exact by construction. Off by default (the plain floor matches the
+    # reference's coarse DOWNLOAD_DELAY semantics).
+    budget_carry: bool = False
     # lakehouse maintenance: every N rounds rewrite the append-heavy
     # tables' fragments into one dir (Iceberg rewrite_data_files
     # analogue) — a year-long crawl otherwise unions thousands of
@@ -260,14 +270,18 @@ def init_crawl(spark: SparkSession, lake: Lakehouse, seeds: DataFrame,
 
 
 def _budgets_df(spark: SparkSession, cfg: CrawlConfig,
-                rules_df: DataFrame | None) -> DataFrame | None:
+                rules_df: DataFrame | None,
+                round_k: int | None = None) -> DataFrame | None:
     """Per-host budget dimension: Crawl-delay-derived budgets from the
     rules dim, overridden by explicit config budgets. Stays a DataFrame
-    end-to-end — no driver-side parsing or dict merge."""
+    end-to-end — no driver-side parsing or dict merge. ``round_k`` (set
+    when cfg.budget_carry) makes the robots-derived budgets schedule-
+    aware — see budgets_from_rules; explicit config budgets are per-round
+    constants either way."""
     parts = []
     if rules_df is not None:
         parts.append(
-            budgets_from_rules(rules_df, cfg.round_seconds)
+            budgets_from_rules(rules_df, cfg.round_seconds, round_k)
             .withColumn("__prec", F.lit(0)))
     if cfg.budgets:
         parts.append(
@@ -586,10 +600,17 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
     metrics = pa.table({k: [v] for k, v in metrics_row.items()})
 
     if metrics_row["wave"] == 0 and n_blocked == 0 and n_discovered == 0:
-        flagged.unpersist()
-        discovered.unpersist()
-        lake.discard_staged(frag)
-        return None  # frontier exhausted; nothing to commit
+        # distinguish "frontier exhausted" from "every host accrued a
+        # zero budget THIS round" (only possible with budget_carry and
+        # rate < 1 hosts): the latter must commit an empty round so the
+        # round counter advances and the host is fetched when its budget
+        # accrues to 1 — terminating would strand a slow-host frontier.
+        if not (cfg.budget_carry
+                and flagged.limit(1).count() > 0):
+            flagged.unpersist()
+            discovered.unpersist()
+            lake.discard_staged(frag)
+            return None  # frontier exhausted; nothing to commit
 
     # results publish = manifest projection of the already-written wave
     # artifact (zero extra write; see the staged-write comment above)
@@ -756,6 +777,11 @@ def run_crawl(spark: SparkSession, lake: Lakehouse, pages: DataFrame,
             if refreshed is not None:
                 rules_df = robots_rules_df(spark, refreshed)
                 budgets_df = _budgets_df(spark, cfg, rules_df)
+        if cfg.budget_carry:
+            # the budget dim is a pure function of the round number — a
+            # tiny per-round recompute of the host dimension, no state
+            budgets_df = _budgets_df(spark, cfg, rules_df,
+                                     round_k=lake.latest_round() + 1)
         row = run_round(spark, lake, idx, cfg, bloom,
                         rules_df=rules_df, budgets_df=budgets_df,
                         flaky_df=flaky_df, alias_df=alias_df,

@@ -30,7 +30,12 @@ from .functions.text import (
 )
 from .functions.urls import canonicalize_one, host_of_one, resolve_one
 from .operators.aliases import alias_one
-from .operators.robots import allowed_one, parse_robots, robots_budgets
+from .operators.robots import (
+    allowed_one,
+    parse_robots,
+    robots_budgets,
+    robots_budgets_carry,
+)
 
 
 @dataclass
@@ -110,9 +115,11 @@ def simulate_crawl(
     blend_weight: float = 0.5,
     blend_iters: int = 5,
     blend_damping: float = 0.85,
+    budget_carry: bool = False,
 ) -> SimResult:
+    explicit_budgets = dict(budgets or {})
     merged = robots_budgets(robots or {}, round_seconds)
-    merged.update(budgets or {})
+    merged.update(explicit_budgets)
     budgets = merged
     robots_rules = {h: parse_robots(b) for h, b in (robots or {}).items()}
     flaky = {canonicalize_one(u): n for u, n in (flaky or {}).items()}
@@ -141,6 +148,11 @@ def simulate_crawl(
     for k in range(1, n_rounds + 1):
         if not frontier:
             break
+        if budget_carry:
+            # schedule-aware robots budgets: pure function of the round
+            # number (mirrors budgets_from_rules(round_k=k) exactly)
+            budgets = robots_budgets_carry(robots or {}, k, round_seconds)
+            budgets.update(explicit_budgets)
         candidates = [e for h, e in frontier.items() if h not in seen]
 
         allowed, blocked = [], []

@@ -544,3 +544,83 @@ def test_resume_sweeps_orphaned_staged_fragment(spark, sim):
     ]
     assert got_waves == sim.waves  # sweep changed nothing observable
     lake.destroy()
+
+
+def test_budget_carry_matches_reference_and_restart(spark):
+    """Schedule-aware politeness (r4 VERDICT #9): fractional Crawl-delay
+    budgets carry across rounds — budget(k) = floor(k*rate) -
+    floor((k-1)*rate) — identically in engine and simulator, including a
+    rate < 1 host that is only fetched every other round, and resume
+    mid-crawl is exact (the budget is a pure function of the round
+    number, no carry state)."""
+    import tempfile as _tf
+    robots = {
+        # 60s rounds: rate 2.5 -> budgets 2,3,2,3 (5 every 2 rounds)
+        "host0.test": "User-agent: *\nCrawl-delay: 24",
+        # rate 0.5 -> budgets 0,1,0,1 (fetched every OTHER round)
+        "host1.test": "User-agent: *\nCrawl-delay: 120",
+    }
+    cfg = CrawlConfig(default_budget=3, robots=dict(robots),
+                      budget_carry=True, use_bloom=True, bloom_parts=4,
+                      bloom_bits_per_part=1 << 16)
+    pages = generate_pages(spark, N, HOSTS)
+    seeds = make_seeds(spark, N, SEEDS, HOSTS)
+    sim = simulate_crawl(_pages_dict(), seed_urls(N, SEEDS, HOSTS), ROUNDS,
+                         default_budget=3, robots=dict(robots),
+                         budget_carry=True)
+    lake = Lakehouse(_tf.mkdtemp(prefix="lake_carry_"))
+    run_crawl(spark, lake, pages, seeds, cfg, ROUNDS)
+    got_waves = [
+        [r.url_hash for r in lake.read(spark, "results")
+         .filter(F.col("round") == k).orderBy("fetch_order").collect()]
+        for k in range(1, ROUNDS + 1)
+    ]
+    assert got_waves == sim.waves
+    assert {r.url_hash
+            for r in lake.read(spark, "seen").collect()} == sim.seen
+    # the carry is observable: host0 wave sizes alternate 2,3,2,3
+    by_round_host0 = [
+        lake.read(spark, "results")
+        .filter((F.col("round") == k) & (F.col("host") == "host0.test"))
+        .count() for k in range(1, ROUNDS + 1)
+    ]
+    assert by_round_host0 == [2, 3, 2, 3]
+    # restart equivalence: budgets are a pure function of round number
+    lake2 = Lakehouse(_tf.mkdtemp(prefix="lake_carry2_"))
+    run_crawl(spark, lake2, pages, seeds, cfg, 2)
+    run_crawl(spark, lake2, pages, seeds, cfg, ROUNDS)
+    a = sorted((r["url_hash"], r["round"], r["fetch_order"])
+               for r in lake.read(spark, "results").collect())
+    b = sorted((r["url_hash"], r["round"], r["fetch_order"])
+               for r in lake2.read(spark, "results").collect())
+    assert a == b
+    lake.destroy()
+    lake2.destroy()
+
+
+def test_budget_carry_all_zero_round_commits_and_continues(spark):
+    """A round where EVERY host accrued budget 0 (all delays > round
+    length) must commit an empty round and keep crawling — not terminate
+    with a stranded frontier."""
+    import tempfile as _tf
+    robots = {f"host{i}.test": "User-agent: *\nCrawl-delay: 120"
+              for i in range(HOSTS)}
+    cfg = CrawlConfig(default_budget=3, robots=dict(robots),
+                      budget_carry=True, use_bloom=False)
+    pages = generate_pages(spark, N, HOSTS)
+    seeds = make_seeds(spark, N, SEEDS, HOSTS)
+    sim = simulate_crawl(_pages_dict(), seed_urls(N, SEEDS, HOSTS), 2,
+                         default_budget=3, robots=dict(robots),
+                         budget_carry=True)
+    assert sim.waves[0] == []       # round 1: everyone at budget 0
+    assert len(sim.waves[1]) == 8   # round 2: 1 fetch per seeded host
+    lake = Lakehouse(_tf.mkdtemp(prefix="lake_zero_"))
+    run_crawl(spark, lake, pages, seeds, cfg, 2)
+    assert lake.latest_round() == 2
+    got_waves = [
+        [r.url_hash for r in lake.read(spark, "results")
+         .filter(F.col("round") == k).orderBy("fetch_order").collect()]
+        for k in (1, 2)
+    ]
+    assert got_waves == sim.waves
+    lake.destroy()
