@@ -916,6 +916,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           "class_pred", "n_merged")
     q["q54_nms"] = q54
 
+    # ---- q55+: round-6 additions (oracle-backed again where expressible).
+
+    # Incremental near-dedup (VERDICT r5 next-round #2): the corpus
+    # arrives as 3 waves (doc_id % 3); each wave computes MinHash band
+    # keys for ITS docs only, equi-joins them against the accumulated
+    # band index (operators/dedup.py::delta_near_dedup — the crawl loop
+    # persists the same relation as the ``content_bands`` lakehouse
+    # table), Jaccard-verifies only colliding pairs, and the pair set
+    # accumulates. The oracle is the FULL-RECOMPUTE near-dedup SQL
+    # (q39's): hash equality is a PROOF the delta form converges to the
+    # batch result exactly — never re-shingling the corpus.
+    def q55(spark, sf):
+        from __spider_spark.operators.dedup import delta_near_dedup
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        index_bands = texts = losers = None
+        for w in range(3):
+            wave = docs.filter(F.col("doc_id") % 3 == w)
+            texts = wave if texts is None else wave.unionByName(texts)
+            wave_bands, pairs = delta_near_dedup(
+                wave, texts, index_bands, n_hashes=16, n_bands=8,
+                rows_per_band=2, k=3, threshold=0.5)
+            wave_losers = pairs.select(F.col("doc_b").alias("doc_id"))
+            losers = wave_losers if losers is None \
+                else losers.unionByName(wave_losers)
+            index_bands = wave_bands if index_bands is None \
+                else index_bands.unionByName(wave_bands)
+        return docs.select("doc_id").join(losers.distinct(), "doc_id",
+                                          "left_anti")
+    q["q55_delta_near_dedup"] = q55
+
     return q
 
 
@@ -1631,6 +1661,10 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["q43_ann_ivf_fullprobe"] = o["q22_ann_cosine_topk"]
+    # delta (3-wave incremental) near-dedup must equal the FULL recompute:
+    # the oracle is deliberately the batch near-dedup SQL — hash equality
+    # proves the incremental form's convergence, not just its plausibility
+    o["q55_delta_near_dedup"] = o["q39_near_dedup_corpus"]
 
     o["q44_detail_enrich"] = """
         SELECT o.o_orderkey, o.o_custkey,

@@ -26,6 +26,8 @@ Exact Jaccard is reserved for verifying candidate pairs, never all pairs.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -127,15 +129,14 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    sig_df: DataFrame, n_bands: int = 4, rows_per_band: int = 4
-) -> DataFrame:
-    """Banded LSH over MinHash signatures: docs sharing any band collide.
-    Output: distinct (doc_a, doc_b) with doc_a < doc_b.
-
-    The self-join is an equi-join on (band, band_key) — the only shuffle is
-    on band keys; no cartesian anywhere."""
-    bands = sig_df.select(
+def band_keys(sig_df: DataFrame, n_bands: int = 4, rows_per_band: int = 4,
+              key_col: str = "band_key") -> DataFrame:
+    """Banded LSH keys from MinHash signatures: (doc_id, band, <key_col>),
+    one row per (doc, band). A band key is md5 over that band's signature
+    rows, so it's a pure per-doc function — computable for a new wave
+    without touching any previously-indexed doc (the property the
+    incremental form below is built on)."""
+    return sig_df.select(
         "doc_id",
         F.posexplode(
             F.array(*[
@@ -144,8 +145,19 @@ def lsh_candidate_pairs(
                            for r in range(rows_per_band)]))
                 for b in range(n_bands)
             ])
-        ).alias("band", "band_key"),
+        ).alias("band", key_col),
     )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, n_bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """Banded LSH over MinHash signatures: docs sharing any band collide.
+    Output: distinct (doc_a, doc_b) with doc_a < doc_b.
+
+    The self-join is an equi-join on (band, band_key) — the only shuffle is
+    on band keys; no cartesian anywhere."""
+    bands = band_keys(sig_df, n_bands, rows_per_band)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -319,3 +331,107 @@ def simhash(df: DataFrame, text_col: str, id_col: str,
                       F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
         sim = term if sim is None else sim + term
     return per_doc.select("doc_id", sim.alias("simhash"))
+
+
+# -- incremental (per-wave) near-dedup -----------------------------------
+#
+# near_dedup_keep recomputes signatures over the WHOLE corpus every run —
+# fine for a batch job, wrong for a crawl that grows 10 TB/day (VERDICT r5
+# next-round #2). The incremental form persists the banded signature index
+# as a lakehouse table (the content analogue of the durable URL seen-set,
+# reference /root/reference/YlTwistPipeline.py:66-89: updated per batch,
+# never rebuilt) and each wave:
+#
+#   1. computes MinHash signatures + band keys for the WAVE's docs only;
+#   2. equi-joins those keys against the persisted index (cross pairs) and
+#      against themselves (within-wave pairs) — never touching old docs'
+#      signatures, which are already in the index;
+#   3. exact-Jaccard-verifies ONLY the candidate pairs, reading old texts
+#      for just the candidate ids (semi-join restriction BEFORE the
+#      shingle explode — the corpus is never re-shingled);
+#   4. appends the wave's band rows + the verified pairs.
+#
+# Union over waves == the full recompute exactly: a pair (a, b) is found
+# when its later doc's wave arrives (same wave -> within; different waves
+# -> cross), and band keys / Jaccard are pure per-doc / per-pair functions
+# — pinned by tests/test_dedup_incremental.py and oracle query q55.
+
+_BAND_COL_RE = re.compile(r"^band_key_h(\d+)_b(\d+)_r(\d+)_k(\d+)$")
+
+
+def band_key_col_name(n_hashes: int = 16, n_bands: int = 8,
+                      rows_per_band: int = 2, k: int = 3) -> str:
+    """Self-describing band-key column name (``band_key_h16_b8_r2_k3``):
+    the sketch parameters ride in the name, same discipline as the ANN
+    index's stamped columns — appending a wave hashed with DIFFERENT
+    parameters to an existing index must raise, not silently emit an
+    index whose collisions mean nothing."""
+    return f"band_key_h{n_hashes}_b{n_bands}_r{rows_per_band}_k{k}"
+
+
+def delta_near_dedup(
+    wave_df: DataFrame, texts_df: DataFrame,
+    index_bands: DataFrame | None,
+    text_col: str = "text", id_col: str = "doc_id",
+    n_hashes: int = 16, n_bands: int = 8, rows_per_band: int = 2,
+    k: int = 3, threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """One incremental near-dedup pass for a new wave of docs.
+
+    ``wave_df``: the NEW docs (id, text) — ids must be disjoint from the
+    index. ``texts_df``: (id, text) covering the wave AND every doc in the
+    index (e.g. the lakehouse results table ∪ the staged wave) — only
+    candidate ids are ever read from it. ``index_bands``: the persisted
+    band index (None for the first wave); its stamped band-key column is
+    validated against this call's parameters.
+
+    Returns ``(wave_bands, new_pairs)``: the band rows to append to the
+    index, and the verified dup pairs (doc_a < doc_b, jaccard) involving
+    at least one wave doc. Plain DataFrames — the caller commits both
+    (the crawl loop appends them inside the round's atomic snapshot)."""
+    kcol = band_key_col_name(n_hashes, n_bands, rows_per_band, k)
+    if index_bands is not None:
+        stamped = [c for c in index_bands.columns if _BAND_COL_RE.match(c)]
+        if stamped != [kcol]:
+            raise ValueError(
+                f"band index stamped {stamped} but this pass computes "
+                f"{kcol!r} — mixed-parameter index would emit meaningless "
+                f"collisions; rebuild or match parameters")
+    sig = minhash_signatures(wave_df, text_col, id_col, n_hashes, k)
+    wave_bands = band_keys(sig, n_bands, rows_per_band, key_col=kcol)
+
+    a = wave_bands.alias("a")
+    b = wave_bands.alias("b")
+    cand = (
+        a.join(b, ["band", kcol])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+    )
+    if index_bands is not None:
+        # index ⋈ wave on (band, band_key): the index side never
+        # recomputes anything; at scale both sides are bucketable on the
+        # band key. doc_a/doc_b by id order, not arrival order, so the
+        # accumulated pair set is identical to the full recompute's.
+        cross = (
+            index_bands.select(F.col("doc_id").alias("__old"),
+                               "band", kcol)
+            .join(wave_bands.select(F.col("doc_id").alias("__new"),
+                                    "band", kcol), ["band", kcol])
+            .select(F.least("__old", "__new").alias("doc_a"),
+                    F.greatest("__old", "__new").alias("doc_b"))
+        )
+        cand = cand.unionByName(cross)
+    cand = cand.distinct()
+
+    # exact-Jaccard verify over candidate docs ONLY: restrict the text
+    # relation to candidate ids BEFORE the shingle explode, so the corpus
+    # is never re-shingled (the whole point of the incremental form)
+    ids = (cand.select(F.col("doc_a").alias(id_col))
+           .unionByName(cand.select(F.col("doc_b").alias(id_col)))
+           .distinct())
+    texts = (texts_df.select(F.col(id_col), F.col(text_col))
+             .join(ids, id_col, "left_semi"))
+    pairs = ngram_jaccard_pairs(texts, text_col, id_col, k, threshold,
+                                candidates=cand)
+    return wave_bands, pairs

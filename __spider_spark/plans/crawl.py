@@ -162,6 +162,18 @@ class CrawlConfig:
     # corpus later. Reference analogue: the parse callback computes row
     # fields at fetch time (ctripSpider.py:252-292), not in a second job.
     curate: bool = False
+    # incremental content near-dedup (the 10 TB/day crawl shape, VERDICT
+    # r5 #2): each round computes MinHash band keys for the WAVE's fetched
+    # docs only, equi-joins them against the persisted ``content_bands``
+    # index (the content analogue of the durable URL seen-set,
+    # YlTwistPipeline.py:66-89), exact-Jaccard-verifies only the colliding
+    # pairs (old texts read candidate-restricted from ``results`` — with
+    # the corpus bucketed by url_hash on a real lakehouse this is a pruned
+    # lookup, never a re-shingle), and appends band rows + verified pairs
+    # (``content_dups``) in the round's atomic commit. The accumulated
+    # pair set equals a full near_dedup recompute over the final corpus
+    # (pinned by tests/test_dedup_incremental.py).
+    content_dedup: bool = False
     # link-structure frontier re-prioritization (graph.py): every N rounds
     # blend PageRank over the discovered edge relation into frontier
     # priorities (priority' = (1-w)p + w·rank/max_rank). None disables —
@@ -631,6 +643,23 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
         discard_after_round = True
     if n_ok + n_404 + n_gave_up + n_blocked == 0:  # all-retry round
         del appends["seen"]
+    if cfg.content_dedup and n_ok > 0:
+        # per-wave delta dedup against the persisted band index; both
+        # tables ride the round's atomic commit, so index and corpus can
+        # never desynchronize across a crash (same guarantee seen gets)
+        from ..operators.dedup import delta_near_dedup
+        wave_docs = extracted.filter(F.col("status") == 200).select(
+            F.col("url_hash").alias("doc_id"), "text")
+        corpus = lake.read(spark, "results")
+        texts = wave_docs
+        if corpus is not None:
+            texts = texts.unionByName(
+                corpus.filter(F.col("status") == 200)
+                .select(F.col("url_hash").alias("doc_id"), "text"))
+        wave_bands, new_pairs = delta_near_dedup(
+            wave_docs, texts, lake.read(spark, "content_bands"))
+        appends["content_bands"] = wave_bands
+        appends["content_dups"] = new_pairs
     # mor rounds append their delta instead of rewriting the frontier;
     # blend rounds and the fold cadence still materialize (see config)
     fold_frontier = (
@@ -800,7 +829,7 @@ def run_crawl(spark: SparkSession, lake: Lakehouse, pages: DataFrame,
             # compacted (single snapshot published per pass)
             lake.compact_many(
                 spark, ["seen", "results", "errors", "details", "metrics",
-                        "edges"])
+                        "edges", "content_bands", "content_dups"])
             if cfg.expire_keep_last:
                 # safe point: the round's commit landed and no staged
                 # fragment is in flight (expire reaps unreferenced dirs)
