@@ -174,6 +174,18 @@ class CrawlConfig:
     # pair set equals a full near_dedup recompute over the final corpus
     # (pinned by tests/test_dedup_incremental.py).
     content_dedup: bool = False
+    # inline Gopher repetition battery (r5 VERDICT next-round #8): every
+    # round computes repetition_stats over the WAVE's fetched texts (the
+    # line/para gates are scan-stage exprs; the gram shuffles are
+    # wave-sized) and appends a ``repetition`` sidecar table keyed by
+    # url_hash in the round's atomic commit — the flag is stamped at
+    # fetch time like the other four curation stats, with no second
+    # corpus scan ever. A sidecar rather than extra results columns on
+    # purpose: the gram stats need a doc-keyed shuffle + join, and
+    # folding that into the results rows would re-cross the page-text
+    # payload the staged-write design just removed (BENCH.md §Round-5
+    # S-term attack); readers join on url_hash when they need the flag.
+    curate_repetition: bool = False
     # link-structure frontier re-prioritization (graph.py): every N rounds
     # blend PageRank over the discovered edge relation into frontier
     # priorities (priority' = (1-w)p + w·rank/max_rank). None disables —
@@ -643,6 +655,12 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
         discard_after_round = True
     if n_ok + n_404 + n_gave_up + n_blocked == 0:  # all-retry round
         del appends["seen"]
+    if cfg.curate_repetition and n_ok > 0:
+        from ..operators.curation import repetition_stats
+        appends["repetition"] = repetition_stats(
+            extracted.filter(F.col("status") == 200)
+            .select("url_hash", "text"), id_col="url_hash",
+        ).withColumn("round", F.lit(k))
     if cfg.content_dedup and n_ok > 0:
         # per-wave delta dedup against the persisted band index; both
         # tables ride the round's atomic commit, so index and corpus can
@@ -829,7 +847,8 @@ def run_crawl(spark: SparkSession, lake: Lakehouse, pages: DataFrame,
             # compacted (single snapshot published per pass)
             lake.compact_many(
                 spark, ["seen", "results", "errors", "details", "metrics",
-                        "edges", "content_bands", "content_dups"])
+                        "edges", "content_bands", "content_dups",
+                        "repetition"])
             if cfg.expire_keep_last:
                 # safe point: the round's commit landed and no staged
                 # fragment is in flight (expire reaps unreferenced dirs)

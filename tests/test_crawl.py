@@ -624,3 +624,34 @@ def test_budget_carry_all_zero_round_commits_and_continues(spark):
     ]
     assert got_waves == sim.waves
     lake.destroy()
+
+
+def test_inline_repetition_sidecar(spark):
+    """curate_repetition=True: each round stamps the Gopher repetition
+    battery over ITS wave into a ``repetition`` sidecar table (same
+    atomic commit, keyed by url_hash) — accumulated rows equal a batch
+    recompute over the final corpus, with no second corpus scan."""
+    import tempfile as _tf
+
+    from __spider_spark.operators.curation import repetition_stats
+    cfg = _cfg()
+    cfg.curate_repetition = True
+    pages = generate_pages(spark, N, HOSTS)
+    seeds = make_seeds(spark, N, SEEDS, HOSTS)
+    lake = Lakehouse(_tf.mkdtemp(prefix="lake_rep_"))
+    run_crawl(spark, lake, pages, seeds, cfg, ROUNDS)
+    rep = lake.read(spark, "repetition")
+    assert rep is not None
+    # one stats row per fetched-200 page, stamped with its fetch round
+    ok = lake.read(spark, "results").filter(F.col("status") == 200)
+    assert rep.count() == ok.count()
+    rounds_match = rep.alias("r").join(
+        ok.select("url_hash", F.col("round").alias("ok_round")),
+        "url_hash").filter(F.col("round") != F.col("ok_round")).count()
+    assert rounds_match == 0
+    # per-wave accumulation == batch recompute over the final corpus
+    got = sorted(map(tuple, rep.drop("round").collect()))
+    want = sorted(map(tuple, repetition_stats(
+        ok.select("url_hash", "text"), id_col="url_hash").collect()))
+    assert got == want
+    lake.destroy()
