@@ -946,6 +946,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                           "left_anti")
     q["q55_delta_near_dedup"] = q55
 
+    # Incremental SimHash near-dup pairs: the delta form of q38 — waves
+    # band their own simhashes only and collide against the accumulated
+    # band index. Oracle is q38's brute-force all-pairs Hamming SQL, so
+    # hash equality proves BOTH convergence of the incremental form AND
+    # the pigeonhole-lossless band pruning in one check.
+    def q56(spark, sf):
+        from __spider_spark.operators.dedup import delta_simhash_pairs
+        sim = simhash(_t(spark, sf, "documents"), "text", "doc_id")
+        index_bands = pairs = None
+        for w in range(3):
+            wave = sim.filter(F.col("doc_id") % 3 == w)
+            wave_bands, new_pairs = delta_simhash_pairs(
+                wave, index_bands, n_bands=4, max_hamming=3)
+            pairs = new_pairs if pairs is None \
+                else pairs.unionByName(new_pairs)
+            index_bands = wave_bands if index_bands is None \
+                else index_bands.unionByName(wave_bands)
+        return pairs
+    q["q56_delta_simhash_pairs"] = q56
+
     return q
 
 
@@ -1665,6 +1685,10 @@ def oracle_sql() -> dict[str, str]:
     # the oracle is deliberately the batch near-dedup SQL — hash equality
     # proves the incremental form's convergence, not just its plausibility
     o["q55_delta_near_dedup"] = o["q39_near_dedup_corpus"]
+    # delta simhash pairs == batch brute-force all-pairs Hamming (q38's
+    # oracle): one hash equality proves incremental convergence AND
+    # lossless band pruning
+    o["q56_delta_simhash_pairs"] = o["q38_simhash_pairs"]
 
     o["q44_detail_enrich"] = """
         SELECT o.o_orderkey, o.o_custkey,

@@ -435,3 +435,93 @@ def delta_near_dedup(
     pairs = ngram_jaccard_pairs(texts, text_col, id_col, k, threshold,
                                 candidates=cand)
     return wave_bands, pairs
+
+
+_SIMHASH_COL_RE = re.compile(r"^sim_band_key_b(\d+)_n(\d+)$")
+
+
+def simhash_band_col_name(n_bands: int = 4, n_bits: int = 60) -> str:
+    """Self-describing SimHash band-key column (``sim_band_key_b4_n60``)
+    — same stamping discipline as :func:`band_key_col_name`."""
+    return f"sim_band_key_b{n_bands}_n{n_bits}"
+
+
+def simhash_band_keys(sim_df: DataFrame, n_bands: int = 4,
+                      n_bits: int = 60,
+                      key_col: str | None = None) -> DataFrame:
+    """Bit-sampling bands over a (doc_id, simhash) relation:
+    (doc_id, simhash, band, <key_col>) — the simhash rides along so the
+    Hamming verify needs no lookup. Pure per-doc function (incremental-
+    safe, like MinHash band keys)."""
+    if n_bits % n_bands:
+        raise ValueError(
+            f"n_bits={n_bits} not divisible by n_bands={n_bands}")
+    if key_col is None:
+        key_col = simhash_band_col_name(n_bands, n_bits)
+    band_bits = n_bits // n_bands
+    mask = (1 << band_bits) - 1
+    return sim_df.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("simhash"), b * band_bits)
+            .bitwiseAND(F.lit(mask)).cast("long")
+            for b in range(n_bands)
+        ])).alias("band", key_col),
+    )
+
+
+def delta_simhash_pairs(
+    wave_sim_df: DataFrame, index_bands: DataFrame | None,
+    n_bands: int = 4, max_hamming: int = 3, n_bits: int = 60,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental :func:`simhash_pairs`: band the WAVE's simhashes only,
+    collide them against the persisted band index (cross) and themselves
+    (within), verify with ``bit_count(xor) <= max_hamming``. Returns
+    ``(wave_bands, new_pairs)`` — the caller appends the bands to the
+    index. Union over waves == the batch ``simhash_pairs`` exactly, with
+    the same pigeonhole-lossless guarantee (band keys are pure per-doc
+    functions; every qualifying pair still shares an intact band when its
+    later doc arrives). Stamped band column; mixed parameters raise."""
+    kcol = simhash_band_col_name(n_bands, n_bits)
+    if index_bands is not None:
+        stamped = [c for c in index_bands.columns
+                   if _SIMHASH_COL_RE.match(c)]
+        if stamped != [kcol]:
+            raise ValueError(
+                f"simhash band index stamped {stamped} but this pass "
+                f"computes {kcol!r} — rebuild or match parameters")
+    wave_bands = simhash_band_keys(wave_sim_df, n_bands, n_bits, kcol)
+    a = wave_bands.alias("a")
+    b = wave_bands.alias("b")
+    cand = (
+        a.join(b, ["band", kcol])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("__sa"),
+                F.col("b.simhash").alias("__sb"))
+    )
+    if index_bands is not None:
+        old = index_bands.select(F.col("doc_id").alias("__oid"),
+                                 F.col("simhash").alias("__osim"),
+                                 "band", kcol)
+        new = wave_bands.select(F.col("doc_id").alias("__nid"),
+                                F.col("simhash").alias("__nsim"),
+                                "band", kcol)
+        cross = old.join(new, ["band", kcol]).select(
+            F.least("__oid", "__nid").alias("doc_a"),
+            F.greatest("__oid", "__nid").alias("doc_b"),
+            F.when(F.col("__oid") < F.col("__nid"), F.col("__osim"))
+             .otherwise(F.col("__nsim")).alias("__sa"),
+            F.when(F.col("__oid") < F.col("__nid"), F.col("__nsim"))
+             .otherwise(F.col("__osim")).alias("__sb"),
+        )
+        cand = cand.unionByName(cross)
+    cand = cand.distinct()
+    ham = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+    pairs = (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+    return wave_bands, pairs

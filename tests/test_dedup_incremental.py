@@ -145,3 +145,30 @@ def test_crawl_content_dedup_index_and_restart(spark):
     assert got2 == got
     lake.destroy()
     lake2.destroy()
+
+
+def test_delta_simhash_accumulates_to_batch(spark):
+    """Incremental simhash_pairs: union of per-wave delta pairs == the
+    batch relation (which the q38 oracle proves equal to brute-force
+    all-pairs Hamming), and a mixed-parameter index raises."""
+    from __spider_spark.operators.dedup import (
+        delta_simhash_pairs,
+        simhash,
+        simhash_pairs,
+    )
+    sim = simhash(_docs(spark), "text", "doc_id")
+    want = {(r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_pairs(sim, n_bands=4, max_hamming=3).collect()}
+    assert want, "fixture lost its simhash near-dups; test is vacuous"
+    index_bands = None
+    got = set()
+    for w in range(3):
+        wave = sim.filter(F.col("doc_id") % 3 == w)
+        bands, pairs = delta_simhash_pairs(wave, index_bands,
+                                           n_bands=4, max_hamming=3)
+        got |= {(r.doc_a, r.doc_b, r.hamming) for r in pairs.collect()}
+        index_bands = bands if index_bands is None \
+            else index_bands.unionByName(bands)
+    assert got == want
+    with pytest.raises(ValueError, match="simhash band index stamped"):
+        delta_simhash_pairs(sim, index_bands, n_bands=2, n_bits=60)
