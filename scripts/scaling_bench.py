@@ -164,6 +164,7 @@ def main() -> None:
                       "shuffle_partitions": pairs[0][1][
                           "shuffle_partitions"]},
         "taskset": taskset_on, "tmpfs": bool(scratch),
+        "warmup": bool(pairs[0][0].get("warmup")),
         "env": scale_env,
         "pairs": [
             {"thr_n": p[0]["urls_per_sec"], "steal_n": p[0]["steal_pct"],
@@ -196,6 +197,11 @@ def main() -> None:
                   "(cgroup analogue); python UDF workers included.")
     notes += (f"\n{trials} interleaved back-to-back (N, 4N) pairs; "
               "per-trial hypervisor steal% measured from /proc/stat.")
+    if pairs[0][0].get("warmup"):
+        notes += ("\nEach trial runs an UNTIMED ~10%-seed warmup crawl "
+                  "first (JIT/codegen/heap steady-state — the long-lived-"
+                  "executor analogue); the timed run measures steady-state "
+                  "throughput.")
     rows = "\n".join(
         f"| {t} | {p[0]['urls_per_sec']} | {p[0]['steal_pct']}% "
         f"| {p[1]['urls_per_sec']} | {p[1]['steal_pct']}% | {eff_of(p)} |"
