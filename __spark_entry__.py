@@ -966,6 +966,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pairs
     q["q56_delta_simhash_pairs"] = q56
 
+    # Incremental dup-cluster maintenance: fold wave-sized pair deltas
+    # into the (node, component) assignment via label contraction — the
+    # O(wave) star loop never sees the corpus. Accumulated result equals
+    # batch CC over all pairs, so q23's recursive-CTE oracle attests it.
+    def q57(spark, sf):
+        from __spider_spark.operators.graph import (
+            connected_components_star,
+            delta_connected_components,
+        )
+        sig = minhash_signatures(_t(spark, sf, "documents"), "text",
+                                 "doc_id", n_hashes=16)
+        pairs = lsh_candidate_pairs(sig, n_bands=4, rows_per_band=4)
+        edges = pairs.select(F.col("doc_a").alias("src"),
+                             F.col("doc_b").alias("dst")).localCheckpoint()
+        wave = [edges.filter((F.col("src") + F.col("dst")) % 3 == w)
+                for w in range(3)]
+        assign = connected_components_star(wave[0])
+        for w in wave[1:]:
+            assign = delta_connected_components(assign, w).localCheckpoint()
+        return assign
+    q["q57_delta_dup_components"] = q57
+
     return q
 
 
@@ -1689,6 +1711,9 @@ def oracle_sql() -> dict[str, str]:
     # oracle): one hash equality proves incremental convergence AND
     # lossless band pruning
     o["q56_delta_simhash_pairs"] = o["q38_simhash_pairs"]
+    # incremental dup-cluster folds converge to batch CC over the same
+    # pair relation — q23's recursive CTE attests the accumulated result
+    o["q57_delta_dup_components"] = o["q23_dup_components"]
 
     o["q44_detail_enrich"] = """
         SELECT o.o_orderkey, o.o_custkey,

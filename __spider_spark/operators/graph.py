@@ -215,6 +215,76 @@ def connected_components_star(
     )
 
 
+def delta_connected_components(
+    assign: DataFrame,         # (node long, component long), min-id labels
+    new_edges: DataFrame,      # (src long, dst long), treated undirected
+    max_iter: int = 50,
+) -> DataFrame:
+    """Incremental connected components: fold a wave of NEW edges into an
+    existing (node, component) assignment without touching the old edge
+    set. The incremental counterpart of :func:`connected_components_star`
+    for the crawl-loop dedup shape: each round's delta near-dedup
+    (``operators.dedup.delta_near_dedup``) emits wave-sized pair sets,
+    and the duplicate clusters should absorb them in O(wave) work, not a
+    re-run of CC over every pair ever found.
+
+    Requires the standard invariant both batch operators guarantee:
+    ``component`` is the MINIMUM node id in its component. Old components
+    then act as contracted super-nodes: each new edge maps its endpoints
+    to their current labels (or themselves if unseen), the O(|new_edges|)
+    contracted graph runs the log-round star algorithm, and the resulting
+    (old label → merged min label) mapping relabels the big assignment
+    with ONE join. min-of-mins = global min, so the invariant is
+    preserved and the result equals batch CC over (old ∪ new) edges —
+    equivalence is oracle-pinned (q57 reuses q23's recursive-CTE SQL)
+    and pytest-pinned across random wave splits.
+
+    Scale shape: the star loop never sees the corpus — only distinct
+    labels touched by the wave. The corpus-sized ``assign`` is scanned
+    once and joined against the wave-sized mapping (AQE broadcasts it);
+    no iteration touches corpus-sized data.
+    """
+    ends = (
+        new_edges.select(F.col("src").alias("node"))
+        .unionByName(new_edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # current label of every wave endpoint: its component if known,
+    # else itself (a brand-new node is its own singleton component)
+    lbl = (
+        ends.join(assign, "node", "left")
+        .select("node",
+                F.coalesce("component", F.col("node")).alias("lbl"))
+    )
+    contracted = (
+        new_edges
+        .join(lbl.select(F.col("node").alias("src"),
+                         F.col("lbl").alias("__sl")), "src")
+        .join(lbl.select(F.col("node").alias("dst"),
+                         F.col("lbl").alias("__dl")), "dst")
+        .select(F.col("__sl").alias("src"), F.col("__dl").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))   # intra-component edge: no-op
+    )
+    # (old label -> merged min label); labels whose components don't merge
+    # are absent (star drops isolated nodes) and keep their id via coalesce
+    mapping = connected_components_star(contracted, max_iter).select(
+        F.col("node").alias("component"),
+        F.col("component").alias("__merged"))
+    updated = (
+        assign.join(mapping, "component", "left")
+        .select("node",
+                F.coalesce("__merged", F.col("component"))
+                .alias("component"))
+    )
+    new_rows = (
+        lbl.join(assign, "node", "left_anti")
+        .join(mapping.withColumnRenamed("component", "lbl"), "lbl", "left")
+        .select("node",
+                F.coalesce("__merged", F.col("lbl")).alias("component"))
+    )
+    return updated.unionByName(new_rows)
+
+
 def reprioritize_frontier(
     frontier: DataFrame, edges: DataFrame,
     n_iter: int = 10, damping: float = 0.85,

@@ -174,6 +174,16 @@ class CrawlConfig:
     # pair set equals a full near_dedup recompute over the final corpus
     # (pinned by tests/test_dedup_incremental.py).
     content_dedup: bool = False
+    # live duplicate clusters (requires content_dedup): each round folds
+    # the wave's verified dup pairs into a ``content_components``
+    # (node, component=min doc id) table via label contraction
+    # (graph.delta_connected_components) — the O(wave) star loop never
+    # sees the corpus, and the table rides the round's atomic commit, so
+    # the canonical-representative mapping is queryable mid-crawl without
+    # ever running batch CC over every pair found. The table holds only
+    # docs that appear in some dup pair (a few % of the corpus), so its
+    # per-round rewrite is pair-nodes-sized, not corpus-sized.
+    content_components: bool = False
     # inline Gopher repetition battery (r5 VERDICT next-round #8): every
     # round computes repetition_stats over the WAVE's fetched texts (the
     # line/para gates are scan-stage exprs; the gram shuffles are
@@ -231,6 +241,10 @@ class CrawlConfig:
             # (ADVICE r5). Callers that want a different trade set it
             # explicitly.
             self.frontier_fold_every = 32
+        if self.content_components and not self.content_dedup:
+            raise ValueError(
+                "content_components folds the dup pairs content_dedup "
+                "produces — enable content_dedup too")
 
 
 def _dedup_frontier(df: DataFrame) -> DataFrame:
@@ -661,6 +675,7 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
             extracted.filter(F.col("status") == 200)
             .select("url_hash", "text"), id_col="url_hash",
         ).withColumn("round", F.lit(k))
+    replace_components = None
     if cfg.content_dedup and n_ok > 0:
         # per-wave delta dedup against the persisted band index; both
         # tables ride the round's atomic commit, so index and corpus can
@@ -678,6 +693,27 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
             wave_docs, texts, lake.read(spark, "content_bands"))
         appends["content_bands"] = wave_bands
         appends["content_dups"] = new_pairs
+        if cfg.content_components:
+            # fold the wave's pairs into the live cluster assignment:
+            # O(wave) contracted star + ONE relabel join over the
+            # pair-nodes-sized table; rides the same atomic commit, so
+            # clusters can never desynchronize from the pair log.
+            # new_pairs is consumed twice (append above + fold here) —
+            # pin it so the band join doesn't recompute
+            new_pairs = new_pairs.localCheckpoint()
+            appends["content_dups"] = new_pairs
+            from ..operators.graph import (
+                connected_components_star,
+                delta_connected_components,
+            )
+            edges = new_pairs.select(F.col("doc_a").alias("src"),
+                                     F.col("doc_b").alias("dst"))
+            assign = lake.read(spark, "content_components")
+            if new_pairs.limit(1).count() > 0:
+                folded = (connected_components_star(edges)
+                          if assign is None
+                          else delta_connected_components(assign, edges))
+                replace_components = folded.localCheckpoint()
     # mor rounds append their delta instead of rewriting the frontier;
     # blend rounds and the fold cadence still materialize (see config)
     fold_frontier = (
@@ -730,6 +766,10 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
             # logically via the read-side seen anti-join alone.
             appends["frontier"] = _dedup_frontier(
                 discovered.unionByName(retries))
+    if replace_components is not None:
+        # no-dup rounds skip the rewrite entirely (the table is only as
+        # stale as the last round that actually found a pair)
+        replace["content_components"] = replace_components
     lake.commit(
         k,
         append=appends,

@@ -172,3 +172,64 @@ def test_delta_simhash_accumulates_to_batch(spark):
     assert got == want
     with pytest.raises(ValueError, match="simhash band index stamped"):
         delta_simhash_pairs(sim, index_bands, n_bands=2, n_bits=60)
+
+
+def test_crawl_content_components_live_clusters(spark):
+    """content_components=True: the live (node, component) table equals
+    batch star CC over the accumulated pair log after every crawl, the
+    invariant (component = min doc id of the cluster) holds, a config
+    without content_dedup raises, and kill-and-resume lands on the
+    identical table."""
+    from __spider_spark.operators.graph import connected_components_star
+    from __spider_spark.plans.crawl import CrawlConfig, run_crawl
+    from __spider_spark.sources.lakehouse import Lakehouse
+    from __spider_spark.sources.pages import generate_pages
+    from __spider_spark.sources.pages import seeds_df as make_seeds
+
+    with pytest.raises(ValueError, match="content_dedup"):
+        CrawlConfig(content_components=True)
+
+    N, HOSTS, SEEDS, ROUNDS = 400, 12, 30, 4
+    cfg = CrawlConfig(default_budget=4, content_dedup=True,
+                      content_components=True, use_bloom=False)
+    # the generated pages are hash-random (no near-dups by construction);
+    # collapse every page's CONTENT onto one of 8 templates — urls stay
+    # unique, html and text are copied together so the byte-identity
+    # extraction contract still holds, and the crawl now discovers
+    # genuine duplicate clusters wave by wave
+    from __spider_spark.sources.pages import PAGES_SCHEMA
+    pdf = generate_pages(spark, N, HOSTS).toPandas()
+    tmpl = pdf.index % 8
+    pdf["html"] = pdf["html"].iloc[tmpl].to_numpy()
+    pdf["text"] = pdf["text"].iloc[tmpl].to_numpy()
+    pages = spark.createDataFrame(pdf, schema=PAGES_SCHEMA)
+    seeds = make_seeds(spark, N, SEEDS, HOSTS)
+
+    lake = Lakehouse(tempfile.mkdtemp(prefix="lake_ccomp_"))
+    run_crawl(spark, lake, pages, seeds, cfg, ROUNDS)
+
+    pairs = lake.read(spark, "content_dups")
+    assert pairs.limit(1).count() > 0, "crawl found no dups; test vacuous"
+    want = sorted(
+        (r.node, r.component)
+        for r in connected_components_star(
+            pairs.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst"))).collect())
+    got = sorted((r.node, r.component)
+                 for r in lake.read(spark, "content_components").collect())
+    assert got == want
+    # invariant: every component label is the min node id of its cluster
+    comp_min = {}
+    for node, comp in got:
+        comp_min[comp] = min(comp_min.get(comp, comp), node, comp)
+    assert all(comp == comp_min[comp] for _, comp in got)
+
+    # kill-and-resume: identical live table
+    lake2 = Lakehouse(tempfile.mkdtemp(prefix="lake_ccomp2_"))
+    run_crawl(spark, lake2, pages, seeds, cfg, 2)
+    run_crawl(spark, lake2, pages, seeds, cfg, ROUNDS)
+    got2 = sorted((r.node, r.component)
+                  for r in lake2.read(spark, "content_components").collect())
+    assert got2 == got
+    lake.destroy()
+    lake2.destroy()

@@ -105,3 +105,34 @@ def test_connected_components_star_equiv(spark):
     b = sorted((r.node, r.component)
                for r in connected_components_star(df).collect())
     assert a == b
+
+
+def test_delta_connected_components_accumulates_to_batch(spark):
+    """Folding edge waves into an assignment one delta at a time equals
+    batch star CC over the union graph — across a random-ish wave split
+    that mixes merges of existing components, brand-new nodes, and
+    intra-component no-op edges."""
+    from __spider_spark.operators.graph import (
+        connected_components_star,
+        delta_connected_components,
+    )
+    edges = [(2, 3), (3, 1), (1, 2), (10, 11), (7, 3), (100, 7)]
+    edges += [((i * 7919) % 997 + 200, ((i + 1) * 7919) % 997 + 200)
+              for i in range(40)]
+    # wave 3 re-adds an edge inside an already-merged component (no-op)
+    # and bridges two prior components through a brand-new node
+    edges += [(2, 1), (11, 5000), (5000, 100)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    want = sorted((r.node, r.component)
+                  for r in connected_components_star(df).collect())
+    waves = [edges[0:3], edges[3:20], edges[20:46], edges[46:]]
+    assign = connected_components_star(
+        spark.createDataFrame(waves[0], "src long, dst long"))
+    for w in waves[1:]:
+        assign = delta_connected_components(
+            assign, spark.createDataFrame(w, "src long, dst long"))
+        # keep the test honest about the incremental shape: each fold's
+        # plan is wave-sized; materialize so the next fold starts clean
+        assign = assign.localCheckpoint()
+    got = sorted((r.node, r.component) for r in assign.collect())
+    assert got == want
