@@ -168,6 +168,13 @@ class SeenBloom:
             b.add_many(arr[part == p])
         self.n_keys += len(arr)
 
+    def delta_raw(self, newly_seen: DataFrame) -> dict[int, bytes]:
+        """Executor-built partition bitmaps for a round's newly-seen keys
+        (same surface as cuckoo.SeenCuckoo.delta_raw, so the crawl plan
+        dispatches on the configured filter without branching)."""
+        return build_partitioned_bloom(
+            newly_seen, self.n_parts, self.bits, self.k)
+
     def merge_raw(self, raw: dict[int, bytes], n_new: int) -> None:
         """Fold executor-built partition bitmaps (the per-round delta) into
         the driver state — bitwise OR, so merge order is irrelevant."""

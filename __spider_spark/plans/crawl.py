@@ -222,8 +222,29 @@ class CrawlConfig:
     # the distributed partitioned-bitmap build. Waves are budget-bounded
     # (default_budget × hosts), so the inline path is the common case.
     bloom_inline_max: int = 65_536
+    # which seen-set sketch routes rows around the anti-join: "bloom"
+    # (operators/seen.py) or "cuckoo" (operators/cuckoo.py — same
+    # no-false-negative routing contract, plus DELETION: a refresh
+    # policy can unsee a wave of stale URLs as a bounded filter edit
+    # instead of a full bitmap rebuild). Exactness always comes from
+    # the anti-join, so crawl output is byte-identical either way
+    # (pytest-pinned).
+    seen_filter: str = "bloom"
+    cuckoo_buckets_per_part: int = 1 << 13
+    # refresh policy: re-fetch pages whose successful fetch is at least
+    # this many rounds old (None = never recrawl — the reference's
+    # behavior; its hourly cron re-runs the WHOLE frontier instead,
+    # start_spider_demo.sh:2-3). Due URLs leave the seen set (durable +
+    # filter edit when the sketch supports deletion) and re-enter the
+    # frontier at recrawl_priority; politeness clips them like any rows.
+    recrawl_ttl_rounds: int | None = None
+    recrawl_priority: float = 1.0
 
     def __post_init__(self) -> None:
+        if self.seen_filter not in ("bloom", "cuckoo"):
+            raise ValueError(
+                f"seen_filter must be 'bloom' or 'cuckoo', got "
+                f"{self.seen_filter!r}")
         # an unknown mode string ("MOR", "merge-on-read", a typo) must not
         # silently fall back to cow full rewrites — that negates the whole
         # O(wave)-writes design with no error anywhere (ADVICE r5)
@@ -362,7 +383,7 @@ def pages_index(pages: DataFrame) -> DataFrame:
 
 
 def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
-              cfg: CrawlConfig, bloom: SeenBloom | None = None,
+              cfg: CrawlConfig, bloom: "SeenBloom | object | None" = None,
               rules_df: DataFrame | None = None,
               budgets_df: DataFrame | None = None,
               flaky_df: DataFrame | None = None,
@@ -381,6 +402,53 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
         # cow mode applies at write time — see CrawlConfig.frontier_mode)
         frontier = _dedup_frontier(frontier)
     seen = lake.read(spark, "seen")
+    refreshed = None
+    if cfg.recrawl_ttl_rounds and seen is not None:
+        # refresh policy: successfully-fetched URLs older than ttl rounds
+        # are UNSEEN (subtracted from this round's anti-join side and from
+        # the durable seen table in this round's atomic commit) and
+        # re-injected into the frontier at recrawl_priority. Deterministic:
+        # the due set is a pure function of (seen table, k), so
+        # kill-and-resume replays it identically. Politeness clips the
+        # re-fetches like any other wave rows; a clipped due URL stays in
+        # the frontier (and out of seen) until a later round fetches it.
+        due = (seen.filter(
+                   (F.col("outcome") == "fetched")
+                   & (F.col("round_seen") <= k - cfg.recrawl_ttl_rounds))
+               .select("url_hash", "url").localCheckpoint())
+        n_due = due.count()
+        if n_due:
+            seen = seen.join(due.select("url_hash"), "url_hash",
+                             "left_anti")
+            refreshed = (
+                due
+                .withColumn("host", url_host(F.col("url")))
+                .withColumn("priority",
+                            F.lit(float(cfg.recrawl_priority)))
+                .withColumn("round", F.lit(k))
+                .withColumn("parent_url", F.lit(None).cast("string"))
+                .withColumn("seed_index", F.lit(None).cast("long"))
+                .withColumn("attempts", F.lit(0))
+                .select(*FRONTIER_COLS)
+            )
+            # the refresh row REPLACES any stale frontier entry for the
+            # url (mor keeps fetched entries physically until a fold;
+            # letting the old row win the dedup would fork lineage and
+            # crawl order between cow and mor — pinned by
+            # test_recrawl_with_mor_frontier_matches_cow)
+            frontier = _dedup_frontier(
+                frontier.join(due.select("url_hash"), "url_hash",
+                              "left_anti")
+                .unionByName(refreshed))
+            if bloom is not None and hasattr(bloom, "delete"):
+                if n_due <= max(int(cfg.bloom_inline_max), 0):
+                    # cuckoo: unsee as a bounded filter EDIT (the count
+                    # gate above proves the collect is bounded). The Bloom
+                    # filter can't delete — stale bits there just cost
+                    # false-positive routing through the anti-join, which
+                    # stays exact either way.
+                    bloom.delete([r["url_hash"] for r in
+                                  due.select("url_hash").collect()])
     t0 = _prof("read state", t0)
 
     # 1+2. candidates = frontier ∖ seen (Bloom-prefiltered anti-join, J6),
@@ -643,8 +711,16 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
         # rate < 1 hosts): the latter must commit an empty round so the
         # round counter advances and the host is fetched when its budget
         # accrues to 1 — terminating would strand a slow-host frontier.
-        if not (cfg.budget_carry
-                and flagged.limit(1).count() > 0):
+        # a refresh crawl must TICK through empty rounds, not terminate:
+        # pages become due only when the round counter reaches their
+        # fetch round + ttl, so "nothing fetchable right now" is the
+        # steady state between refresh waves, not exhaustion
+        recrawl_pending = bool(
+            cfg.recrawl_ttl_rounds and seen is not None
+            and seen.filter(F.col("outcome") == "fetched")
+                    .limit(1).count() > 0)
+        if not recrawl_pending and not (
+                cfg.budget_carry and flagged.limit(1).count() > 0):
             flagged.unpersist()
             discovered.unpersist()
             lake.discard_staged(frag)
@@ -759,17 +835,36 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
         replace = {"frontier": new_frontier}
     else:
         replace = {}
+        delta_parts = []
         if n_discovered + n_retried > 0:
+            delta_parts.append(discovered.unionByName(retries))
+        if refreshed is not None:
+            # re-injected refresh rows must be durable in the mor delta
+            # too: the base may drop them at the next fold, and they are
+            # already subtracted from seen — losing the delta would strand
+            # a politeness-clipped due URL forever
+            delta_parts.append(refreshed)
+        if delta_parts:
             # round delta only — O(wave) write; dedup scoped to the round
             # (cross-round resolution happens in the read view). An
             # all-terminal round appends nothing: the frontier shrinks
             # logically via the read-side seen anti-join alone.
-            appends["frontier"] = _dedup_frontier(
-                discovered.unionByName(retries))
+            d = delta_parts[0]
+            for extra in delta_parts[1:]:
+                d = d.unionByName(extra)
+            appends["frontier"] = _dedup_frontier(d)
     if replace_components is not None:
         # no-dup rounds skip the rewrite entirely (the table is only as
         # stale as the last round that actually found a pair)
         replace["content_components"] = replace_components
+    if refreshed is not None:
+        # recrawl rounds REPLACE seen: (old seen minus due) plus this
+        # round's outcomes, in the same atomic snapshot as everything
+        # else — a crash can never leave a URL both unseen and unfetched
+        new_seen = seen
+        if "seen" in appends:
+            new_seen = new_seen.unionByName(appends.pop("seen"))
+        replace["seen"] = new_seen
     lake.commit(
         k,
         append=appends,
@@ -790,12 +885,11 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
             bloom.update(row["h"])
             t0 = _prof("bloom inline collect+fold", t0)
         else:
-            # executor-built bitmap delta over this round's newly-seen
-            # keys, OR-merged into the driver filter (no row collect)
-            from ..operators.seen import build_partitioned_bloom
-            delta = build_partitioned_bloom(
-                newly_seen, bloom.n_parts, bloom.bits, bloom.k)
-            bloom.merge_raw(delta, n_new_seen)
+            # executor-built sketch delta over this round's newly-seen
+            # keys, merged into the driver filter (no row collect) —
+            # dispatched through the filter object so Bloom and cuckoo
+            # share the crawl plan
+            bloom.merge_raw(bloom.delta_raw(newly_seen), n_new_seen)
             t0 = _prof("bloom delta build+merge", t0)
     flagged.unpersist()
     discovered.unpersist()
@@ -832,8 +926,13 @@ def run_crawl(spark: SparkSession, lake: Lakehouse, pages: DataFrame,
         lake.remove_orphans()
     bloom = None
     if cfg.use_bloom:
-        bloom = SeenBloom(cfg.bloom_parts, cfg.bloom_bits_per_part,
-                          cfg.bloom_hashes)
+        if cfg.seen_filter == "cuckoo":
+            from ..operators.cuckoo import SeenCuckoo
+            bloom = SeenCuckoo(cfg.bloom_parts,
+                               cfg.cuckoo_buckets_per_part)
+        else:
+            bloom = SeenBloom(cfg.bloom_parts, cfg.bloom_bits_per_part,
+                              cfg.bloom_hashes)
         seen = lake.read(spark, "seen")
         if seen is not None:  # resume: rebuild derived state from the table
             bloom.rebuild(seen)

@@ -1,0 +1,110 @@
+"""Refresh (re-crawl) policy: recrawl_ttl_rounds unsees stale pages so
+they are re-fetched on cadence, the seen table always carries the LATEST
+fetch round, kill-and-resume replays the policy identically, and the
+cuckoo filter absorbs the unsee as a bounded edit (routing stays exact —
+the same crawl under Bloom commits identical tables)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from __spider_spark.plans.crawl import CrawlConfig, run_crawl
+from __spider_spark.sources.lakehouse import Lakehouse
+from __spider_spark.sources.pages import generate_pages, seeds_df
+
+
+def _tables(spark, lake):
+    out = {}
+    for t in ("seen", "results", "frontier"):
+        df = lake.read(spark, t)
+        out[t] = sorted(map(tuple, df.select(sorted(df.columns)).collect()),
+                        key=repr)
+    return out
+
+
+def _run(spark, pages, seeds, rounds, filt):
+    cfg = CrawlConfig(default_budget=50, recrawl_ttl_rounds=2,
+                      seen_filter=filt, bloom_min_seen=0)
+    lake = Lakehouse(tempfile.mkdtemp(prefix=f"lake_rc_{filt}_"))
+    run_crawl(spark, lake, pages, seeds, cfg, rounds)
+    return cfg, lake
+
+
+def test_recrawl_refetches_on_cadence_and_resumes(spark):
+    N, HOSTS, SEEDS, ROUNDS = 60, 4, 60, 5
+    pages = generate_pages(spark, N, HOSTS)
+    seeds = seeds_df(spark, N, SEEDS, HOSTS)
+
+    cfg, lake = _run(spark, pages, seeds, ROUNDS, "cuckoo")
+    results = lake.read(spark, "results").filter(F.col("status") == 200)
+    rounds_per_url = {
+        r["url_hash"]: sorted(r["rs"])
+        for r in results.groupBy("url_hash")
+        .agg(F.collect_set("round").alias("rs")).collect()
+    }
+    multi = {h: rs for h, rs in rounds_per_url.items() if len(rs) > 1}
+    assert multi, "no page was ever re-fetched; ttl policy inert"
+    # cadence: consecutive successful fetches of the same url are at
+    # least ttl rounds apart (a due URL may be clipped and land later,
+    # never earlier)
+    for rs in multi.values():
+        assert all(b - a >= cfg.recrawl_ttl_rounds
+                   for a, b in zip(rs, rs[1:])), rs
+    # seen carries exactly one row per url, stamped with the LATEST round
+    seen = lake.read(spark, "seen")
+    assert (seen.groupBy("url_hash").count()
+            .filter(F.col("count") > 1).count()) == 0
+    latest = {r["url_hash"]: r["round_seen"]
+              for r in seen.filter(F.col("outcome") == "fetched")
+              .select("url_hash", "round_seen").collect()}
+    for h, rs in rounds_per_url.items():
+        assert latest[h] == rs[-1]
+
+    # kill-and-resume replays the refresh policy identically
+    lake2 = Lakehouse(tempfile.mkdtemp(prefix="lake_rc_resume_"))
+    run_crawl(spark, lake2, pages, seeds, cfg, 3)
+    run_crawl(spark, lake2, pages, seeds, cfg, ROUNDS)
+    assert _tables(spark, lake2) == _tables(spark, lake)
+    lake.destroy()
+    lake2.destroy()
+
+
+def test_recrawl_identical_under_bloom_and_cuckoo(spark):
+    """The filter only routes; the refresh policy's exactness comes from
+    the seen-table arithmetic — Bloom (no deletes, stale bits cost FP
+    routing) and cuckoo (bounded unsee edit) commit identical tables."""
+    N, HOSTS, SEEDS, ROUNDS = 60, 4, 60, 4
+    pages = generate_pages(spark, N, HOSTS)
+    seeds = seeds_df(spark, N, SEEDS, HOSTS)
+    _, lake_b = _run(spark, pages, seeds, ROUNDS, "bloom")
+    _, lake_c = _run(spark, pages, seeds, ROUNDS, "cuckoo")
+    assert _tables(spark, lake_b) == _tables(spark, lake_c)
+    lake_b.destroy()
+    lake_c.destroy()
+
+
+def test_recrawl_with_mor_frontier_matches_cow(spark):
+    """mor mode appends refresh rows to the frontier delta (a clipped due
+    URL must survive the next fold); the crawl's committed seen/results
+    equal the cow run's."""
+    N, HOSTS, SEEDS, ROUNDS = 60, 4, 60, 5
+    pages = generate_pages(spark, N, HOSTS)
+    seeds = seeds_df(spark, N, SEEDS, HOSTS)
+    lakes = {}
+    for mode in ("cow", "mor"):
+        cfg = CrawlConfig(default_budget=3, recrawl_ttl_rounds=2,
+                          frontier_mode=mode, use_bloom=False)
+        lake = Lakehouse(tempfile.mkdtemp(prefix=f"lake_rc_{mode}_"))
+        run_crawl(spark, lake, pages, seeds, cfg, ROUNDS)
+        lakes[mode] = lake
+    for t in ("seen", "results"):
+        a = lakes["cow"].read(spark, t)
+        b = lakes["mor"].read(spark, t)
+        assert (sorted(map(tuple, a.select(sorted(a.columns)).collect()),
+                       key=repr)
+                == sorted(map(tuple, b.select(sorted(b.columns)).collect()),
+                          key=repr)), t
+    for lake in lakes.values():
+        lake.destroy()
