@@ -715,10 +715,17 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
         # pages become due only when the round counter reaches their
         # fetch round + ttl, so "nothing fetchable right now" is the
         # steady state between refresh waves, not exhaustion
+        # `refreshed is not None` matters on its own: if EVERY due page
+        # was politeness-clipped this round (wave == 0), terminating here
+        # would discard the uncommitted refresh — the empty round must
+        # commit the seen subtraction + frontier re-injection so a later
+        # round fetches them when budget accrues
         recrawl_pending = bool(
-            cfg.recrawl_ttl_rounds and seen is not None
-            and seen.filter(F.col("outcome") == "fetched")
-                    .limit(1).count() > 0)
+            cfg.recrawl_ttl_rounds
+            and (refreshed is not None
+                 or (seen is not None
+                     and seen.filter(F.col("outcome") == "fetched")
+                             .limit(1).count() > 0)))
         if not recrawl_pending and not (
                 cfg.budget_carry and flagged.limit(1).count() > 0):
             flagged.unpersist()

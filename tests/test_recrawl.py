@@ -108,3 +108,32 @@ def test_recrawl_with_mor_frontier_matches_cow(spark):
                           key=repr)), t
     for lake in lakes.values():
         lake.destroy()
+
+
+def test_recrawl_all_clipped_round_commits_and_resumes(spark):
+    """Corner: every due page politeness-clipped in its refresh round
+    (wave == 0). The round must COMMIT (seen subtraction + frontier
+    re-injection) instead of terminating — a later round with budget
+    fetches them."""
+    N, HOSTS = 40, 4
+    pages = generate_pages(spark, N, HOSTS)
+    seeds = seeds_df(spark, N, 40, HOSTS)
+    cfg = CrawlConfig(default_budget=50, recrawl_ttl_rounds=2,
+                      use_bloom=False)
+    lake = Lakehouse(tempfile.mkdtemp(prefix="lake_rc_clip_"))
+    run_crawl(spark, lake, pages, seeds, cfg, 2)  # fetch all r1, tick r2
+    n_fetched = (lake.read(spark, "seen")
+                 .filter(F.col("outcome") == "fetched").count())
+    assert n_fetched > 0
+    clip = CrawlConfig(default_budget=0, recrawl_ttl_rounds=2,
+                       use_bloom=False)
+    run_crawl(spark, lake, pages, seeds, clip, 3)  # r3: all due, all clipped
+    assert lake.latest_round() == 3, "all-clipped refresh round must commit"
+    seen = lake.read(spark, "seen")
+    assert seen.filter(F.col("outcome") == "fetched").count() == 0
+    run_crawl(spark, lake, pages, seeds, cfg, 4)  # r4: budget back -> refetch
+    refetched = (lake.read(spark, "results")
+                 .filter((F.col("status") == 200) & (F.col("round") == 4))
+                 .count())
+    assert refetched == n_fetched
+    lake.destroy()
