@@ -268,6 +268,31 @@ class CrawlConfig:
                 "produces — enable content_dedup too")
 
 
+def resolve_seen(seen: DataFrame) -> DataFrame:
+    """Merge-on-read view of the seen table under a refresh policy: the
+    refresh unsee is an APPENDED tombstone row (outcome="unseen"), never
+    a table rewrite — at steady state every round has due pages, and a
+    replace-based unsee would rewrite the O(corpus) seen table every
+    round (the same hazard frontier_mode="mor" removes for the
+    frontier). Resolution: per url_hash keep the row with the highest
+    (round_seen, outcome != "unseen") — a re-fetch in the SAME round as
+    its tombstone outranks it — then drop resolved tombstones. Identity
+    on a tombstone-free table; only applied when recrawl is configured,
+    so non-refresh crawls keep the exact current plan. max_by gets
+    map-side partial aggregation (no window sort)."""
+    key = F.struct(
+        F.col("round_seen").alias("k1"),
+        (F.col("outcome") != "unseen").cast("int").alias("k2"),
+    )
+    cols = [c for c in seen.columns if c != "url_hash"]
+    return (
+        seen.groupBy("url_hash")
+        .agg(F.max_by(F.struct(*cols), key).alias("__r"))
+        .select("url_hash", "__r.*")
+        .filter(F.col("outcome") != "unseen")
+    )
+
+
 def _dedup_frontier(df: DataFrame) -> DataFrame:
     """Deterministic duplicate resolution on url_hash: keep
     (attempts DESC, priority DESC, round ASC, parent_url ASC NULLS FIRST,
@@ -405,13 +430,17 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
     refreshed = None
     if cfg.recrawl_ttl_rounds and seen is not None:
         # refresh policy: successfully-fetched URLs older than ttl rounds
-        # are UNSEEN (subtracted from this round's anti-join side and from
-        # the durable seen table in this round's atomic commit) and
+        # are UNSEEN (subtracted from this round's anti-join side; made
+        # durable as APPENDED tombstone rows resolved read-side — never a
+        # rewrite of the O(corpus) seen table, see resolve_seen) and
         # re-injected into the frontier at recrawl_priority. Deterministic:
         # the due set is a pure function of (seen table, k), so
         # kill-and-resume replays it identically. Politeness clips the
         # re-fetches like any other wave rows; a clipped due URL stays in
         # the frontier (and out of seen) until a later round fetches it.
+        # At steady state the due set per round ≈ the pages fetched
+        # exactly ttl rounds ago — wave-sized, not corpus-sized.
+        seen = resolve_seen(seen)
         due = (seen.filter(
                    (F.col("outcome") == "fetched")
                    & (F.col("round_seen") <= k - cfg.recrawl_ttl_rounds))
@@ -865,13 +894,18 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
         # stale as the last round that actually found a pair)
         replace["content_components"] = replace_components
     if refreshed is not None:
-        # recrawl rounds REPLACE seen: (old seen minus due) plus this
-        # round's outcomes, in the same atomic snapshot as everything
-        # else — a crash can never leave a URL both unseen and unfetched
-        new_seen = seen
-        if "seen" in appends:
-            new_seen = new_seen.unionByName(appends.pop("seen"))
-        replace["seen"] = new_seen
+        # the unsee is an O(due) tombstone APPEND in the same atomic
+        # snapshot (a crash can never leave a URL both unseen and
+        # unfetched); resolve_seen folds it at read time. Never a
+        # rewrite: at steady state every round has due pages, and a
+        # seen replace would be an O(corpus) write per round.
+        tombstones = due.select(
+            "url_hash", "url",
+            F.lit("unseen").alias("outcome"),
+            F.lit(k).alias("round_seen"))
+        appends["seen"] = (
+            tombstones if "seen" not in appends
+            else appends["seen"].unionByName(tombstones))
     lake.commit(
         k,
         append=appends,
@@ -942,6 +976,11 @@ def run_crawl(spark: SparkSession, lake: Lakehouse, pages: DataFrame,
                               cfg.bloom_hashes)
         seen = lake.read(spark, "seen")
         if seen is not None:  # resume: rebuild derived state from the table
+            if cfg.recrawl_ttl_rounds:
+                # fold refresh tombstones first: an unseen URL must not
+                # re-enter the rebuilt filter (it would only cost FP
+                # routing, but the resolve is one map-side agg)
+                seen = resolve_seen(seen)
             bloom.rebuild(seen)
     # hash-partition the page store ON the join key once and persist: every
     # round's fetch join then only shuffles the (small) wave side — the

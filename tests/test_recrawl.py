@@ -10,7 +10,8 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from __spider_spark.plans.crawl import CrawlConfig, run_crawl
+from __spider_spark.plans.crawl import (CrawlConfig, resolve_seen,
+                                        run_crawl)
 from __spider_spark.sources.lakehouse import Lakehouse
 from __spider_spark.sources.pages import generate_pages, seeds_df
 
@@ -52,8 +53,10 @@ def test_recrawl_refetches_on_cadence_and_resumes(spark):
     for rs in multi.values():
         assert all(b - a >= cfg.recrawl_ttl_rounds
                    for a, b in zip(rs, rs[1:])), rs
-    # seen carries exactly one row per url, stamped with the LATEST round
-    seen = lake.read(spark, "seen")
+    # the RESOLVED seen view carries exactly one row per url, stamped
+    # with the LATEST round (raw rows are an append-only history: the
+    # unsee is a tombstone append, never a table rewrite)
+    seen = resolve_seen(lake.read(spark, "seen"))
     assert (seen.groupBy("url_hash").count()
             .filter(F.col("count") > 1).count()) == 0
     latest = {r["url_hash"]: r["round_seen"]
@@ -122,14 +125,14 @@ def test_recrawl_all_clipped_round_commits_and_resumes(spark):
                       use_bloom=False)
     lake = Lakehouse(tempfile.mkdtemp(prefix="lake_rc_clip_"))
     run_crawl(spark, lake, pages, seeds, cfg, 2)  # fetch all r1, tick r2
-    n_fetched = (lake.read(spark, "seen")
+    n_fetched = (resolve_seen(lake.read(spark, "seen"))
                  .filter(F.col("outcome") == "fetched").count())
     assert n_fetched > 0
     clip = CrawlConfig(default_budget=0, recrawl_ttl_rounds=2,
                        use_bloom=False)
     run_crawl(spark, lake, pages, seeds, clip, 3)  # r3: all due, all clipped
     assert lake.latest_round() == 3, "all-clipped refresh round must commit"
-    seen = lake.read(spark, "seen")
+    seen = resolve_seen(lake.read(spark, "seen"))
     assert seen.filter(F.col("outcome") == "fetched").count() == 0
     run_crawl(spark, lake, pages, seeds, cfg, 4)  # r4: budget back -> refetch
     refetched = (lake.read(spark, "results")
