@@ -231,18 +231,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "o_orderkey", "o_custkey", "o_orderstatus")
     q["q07_seen_anti_join"] = q07
 
-    # A2/O1 — argmin (cheapest order per customer)
+    # A2/O1 — argmin (cheapest order per customer). min_by over the
+    # lexicographic (price, orderkey) struct instead of a row_number
+    # window: the aggregate gets map-side partial aggregation and no
+    # per-partition sort (guide §2.3 "aggregate before you shuffle"), and
+    # orderkey uniqueness makes the argmin row identical to the window's
+    # rn=1 row — same rows, same values, oracle-pinned.
     def q08(spark, sf):
-        from pyspark.sql import Window
-        w = Window.partitionBy("o_custkey").orderBy(
-            F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
         return (
             _t(spark, sf, "orders")
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("o_custkey"),
-                    F.col("o_orderkey").alias("cheapest_order"),
-                    F.col("o_totalprice").alias("min_price"))
+            .groupBy("o_custkey")
+            .agg(
+                F.min_by(
+                    "o_orderkey",
+                    F.struct("o_totalprice", "o_orderkey"),
+                ).alias("cheapest_order"),
+                F.min("o_totalprice").alias("min_price"),
+            )
+            .select("o_custkey", "cheapest_order", "min_price")
         )
     q["q08_argmin_cheapest"] = q08
 

@@ -27,6 +27,7 @@ no per-row Python UDFs).
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from urllib.parse import urljoin, urlsplit, urlunsplit
 
 import pandas as pd
@@ -161,22 +162,57 @@ def resolve_one(base: str | None, link: str | None) -> str | None:
     return canonicalize_one(link)
 
 
+# Bounded memoization of the pure per-string functions (guide §4.5:
+# heavyweight per-task state amortized across batches; python workers are
+# reused, so the cache also carries across tasks in one worker process).
+# Crawl inputs repeat heavily — a page's outlink target is linked by many
+# parents and re-listed across rounds — so the urlsplit/percent-decode
+# work runs once per distinct string instead of once per row. Pure
+# function of the input string; no query results are cached.
+@lru_cache(maxsize=1 << 17)
+def _canonicalize_cached(url: str | None) -> str | None:
+    return canonicalize_one(url)
+
+
+@lru_cache(maxsize=1 << 17)
+def _host_cached(url: str | None) -> str | None:
+    return host_of_one(url)
+
+
 @pandas_udf(StringType())
 def canonicalize_url(urls: pd.Series) -> pd.Series:
-    """Vectorized RFC 3986 canonicalization (Arrow-batched)."""
-    return urls.map(canonicalize_one, na_action="ignore")
+    """Vectorized RFC 3986 canonicalization (Arrow-batched). Distinct
+    values computed once per batch (the map dict), once per worker for
+    repeats across batches (the lru layer)."""
+    uniq = urls.dropna().unique()
+    return urls.map({u: _canonicalize_cached(u) for u in uniq})
 
 
 @pandas_udf(StringType())
 def resolve_link(base: pd.Series, link: pd.Series) -> pd.Series:
-    """Vectorized href resolution against the parent URL (Arrow-batched)."""
-    return pd.Series([resolve_one(b, x) for b, x in zip(base, link)])
+    """Vectorized href resolution against the parent URL (Arrow-batched).
+    Absolute http(s) hrefs — the overwhelmingly common case in discovered
+    link streams — do not depend on the base at all: RFC 3986 §5.2.2
+    takes the reference verbatim when it carries a scheme, so the cached
+    single-string canonicalizer serves them and the per-pair
+    urljoin+split path only runs for genuinely relative references."""
+    out = []
+    for b, x in zip(base, link):
+        if x is not None:
+            xs = x.strip()
+            if xs.startswith(("http://", "https://")):
+                out.append(_canonicalize_cached(xs))
+                continue
+        out.append(resolve_one(b, x))
+    return pd.Series(out, dtype=object)
 
 
 @pandas_udf(StringType())
 def url_host(urls: pd.Series) -> pd.Series:
-    """Vectorized host extraction (Arrow-batched)."""
-    return urls.map(host_of_one, na_action="ignore")
+    """Vectorized host extraction (Arrow-batched; per-batch distinct map
+    + per-worker lru, as canonicalize_url)."""
+    uniq = urls.dropna().unique()
+    return urls.map({u: _host_cached(u) for u in uniq})
 
 
 def url_hash_col(col):

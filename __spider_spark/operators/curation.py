@@ -39,7 +39,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.textstats import hash60
-from .dedup import shingles_from
+from .dedup import shingles_from, spread_small_input
 
 KNUTH_MULT = 2_654_435_761
 SAMPLE_MOD = 1 << 32
@@ -151,6 +151,7 @@ def repetition_stats(
     gates are zero-shuffle scan-stage exprs joined back on the doc key.
     No windows, no driver collection."""
     from ..functions.textstats import tokens
+    df = spread_small_input(df)  # gram explode must not run on 1-2 tasks
     base = df.select(F.col(id_col), F.col(text_col).alias("__txt"),
                      tokens(F.col(text_col)).alias("__toks"))
 
@@ -238,6 +239,7 @@ def tfidf_top_terms(
     all-pairs, no driver collection; N_docs is the only scalar and rides
     in as a literal subquery (count agg)."""
     from ..functions.textstats import tokens
+    df = spread_small_input(df)  # token explode must not run on 1-2 tasks
     toks = (
         df.select(F.col(id_col), F.explode(tokens(F.col(text_col)))
                   .alias("term"))
@@ -277,6 +279,7 @@ def contamination(
     removal: :func:`decontaminate`.
     """
     from ..functions.textstats import tokens
+    df = spread_small_input(df)  # shingle explode must not run on 1-2 tasks
     bench = [bench_col.alias("__bench")] if bench_col is not None else []
     sh = (
         # tokens projected into their own column BEFORE the shingle

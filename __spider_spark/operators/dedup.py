@@ -34,6 +34,44 @@ from pyspark.sql import functions as F
 from ..functions.textstats import hash60, tokens
 
 
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Round-robin-repartition a SMALL under-partitioned input to the
+    session's default parallelism before a compute-heavy chain.
+
+    Rationale (optimization guide §1.2 "algorithm first" / §2.5 input
+    skew): the downstream hash work (one md5 per shingle/token) is
+    50-100x the input bytes, and a small parquet input is typically ONE
+    row group — the scan then yields 1-2 partitions and the whole chain
+    runs on 2 of N cores regardless of split tuning, because a row group
+    is the atomic scan unit. A ~MB-sized exchange unlocks every core
+    (measured: q17 8.1s -> 1.9s, q19 5.4s -> 1.6s at sf1.0/local[32]).
+
+    Scale-adaptive by construction, not a local[32] constant: the
+    repartition fires ONLY when (a) the input has fewer than half the
+    session's default-parallelism partitions AND (b) the plan-estimated
+    size is below defaultParallelism x maxPartitionBytes (the whole input
+    would fit in one task wave anyway). A 100 TB corpus fails both —
+    thousands of row groups already feed every core — so the at-scale
+    path never pays the extra exchange."""
+    try:
+        sess = df.sparkSession
+        target = sess.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() >= max(2, target // 2):
+            return df
+        try:
+            max_bytes = int(sess.conf.get(
+                "spark.sql.files.maxPartitionBytes"))
+        except ValueError:
+            max_bytes = 128 * 1024 * 1024
+        size = int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+        if size > target * max_bytes:
+            return df
+    except Exception:
+        return df
+    return df.repartition(target)
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep one representative (min id) per exact-text group.
     Output: (id, fingerprint, dup_count)."""
@@ -107,7 +145,10 @@ def minhash_signatures(
     Output: (doc_id, sig array<long>).
 
     One explode (map-side) + one groupBy(doc_id) shuffle; one md5 per
-    shingle; n_hashes mins computed in a single aggregate pass."""
+    shingle; n_hashes mins computed in a single aggregate pass. The input
+    is spread first so the md5-heavy explode stage is not serialized onto
+    a single row group's scan task (see :func:`spread_small_input`)."""
+    df = spread_small_input(df)
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         tokens(F.col(text_col)).alias("__toks"),
@@ -156,9 +197,17 @@ def lsh_candidate_pairs(
     Output: distinct (doc_a, doc_b) with doc_a < doc_b.
 
     The self-join is an equi-join on (band, band_key) — the only shuffle is
-    on band keys; no cartesian anywhere."""
+    on band keys; no cartesian anywhere. The join is hinted sort-merge on
+    purpose: both sides are the SAME band relation, so the planner's
+    broadcast choice would build the whole signature chain twice (one copy
+    inside the broadcast, one as probe side — two full scans+md5 passes,
+    no exchange reuse), while a shuffle join makes the two exchanges
+    canonically identical and ReusedExchange computes the signature chain
+    ONCE (guide §2.4 "share one exchange"; plan-pinned by
+    tests/test_dedup_scale.py, which also pins AQE skew-splitting of this
+    join under a hot band)."""
     bands = band_keys(sig_df, n_bands, rows_per_band)
-    a = bands.alias("a")
+    a = bands.alias("a").hint("merge")
     b = bands.alias("b")
     return (
         a.join(b, ["band", "band_key"])
@@ -186,6 +235,7 @@ def ngram_jaccard_pairs(
 
     Without ``candidates`` this is the exact all-pairs mode (inherently
     quadratic in co-shingling docs) — small corpora / oracle checks only."""
+    df = spread_small_input(df)
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         tokens(F.col(text_col)).alias("__toks"),
@@ -283,7 +333,10 @@ def simhash_pairs(
             for b in range(n_bands)
         ])).alias("band", "band_key"),
     )
-    a = bands.alias("a")
+    # merge-hinted for the same reason as lsh_candidate_pairs: identical
+    # shuffle subtrees on both sides -> ReusedExchange computes the
+    # simhash chain once instead of twice (broadcast would fork it)
+    a = bands.alias("a").hint("merge")
     b = bands.alias("b")
     cand = (
         a.join(b, ["band", "band_key"])
@@ -312,7 +365,10 @@ def simhash(df: DataFrame, text_col: str, id_col: str,
     partition to 60 longs per doc BEFORE the shuffle — no 60× row explode
     (the earlier groupBy(doc, pos) form shuffled one row per (doc, bit)).
     60 bits (not 64) keeps the value positive in a signed long identically
-    in Spark and DuckDB."""
+    in Spark and DuckDB. The input is spread first so the per-token md5
+    stage is not serialized onto a single row group's scan task (see
+    :func:`spread_small_input`)."""
+    df = spread_small_input(df)
     tok = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
@@ -400,7 +456,9 @@ def delta_near_dedup(
     sig = minhash_signatures(wave_df, text_col, id_col, n_hashes, k)
     wave_bands = band_keys(sig, n_bands, rows_per_band, key_col=kcol)
 
-    a = wave_bands.alias("a")
+    # merge-hinted self-join: ReusedExchange computes the wave's signature
+    # chain once (same rationale as lsh_candidate_pairs)
+    a = wave_bands.alias("a").hint("merge")
     b = wave_bands.alias("b")
     cand = (
         a.join(b, ["band", kcol])
@@ -491,7 +549,9 @@ def delta_simhash_pairs(
                 f"simhash band index stamped {stamped} but this pass "
                 f"computes {kcol!r} — rebuild or match parameters")
     wave_bands = simhash_band_keys(wave_sim_df, n_bands, n_bits, kcol)
-    a = wave_bands.alias("a")
+    # merge-hinted self-join: ReusedExchange computes the wave's band
+    # relation once (same rationale as lsh_candidate_pairs)
+    a = wave_bands.alias("a").hint("merge")
     b = wave_bands.alias("b")
     cand = (
         a.join(b, ["band", kcol])

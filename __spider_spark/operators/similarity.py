@@ -50,8 +50,12 @@ def cosine_topk(
     id_col: str = "vec_id", emb_col: str = "embedding",
     exclude_id: int | None = None,
 ) -> DataFrame:
-    """Exact top-k by cosine similarity; deterministic tie-break on id."""
-    df = emb_df
+    """Exact top-k by cosine similarity; deterministic tie-break on id.
+    The input is spread first so the per-row dot product is not
+    serialized onto a single row group's scan task (scale-gated — see
+    dedup.spread_small_input)."""
+    from .dedup import spread_small_input
+    df = spread_small_input(emb_df)
     if exclude_id is not None:
         df = df.filter(F.col(id_col) != exclude_id)
     scored = df.select(

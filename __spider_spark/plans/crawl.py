@@ -494,13 +494,21 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
     blocked = flagged.filter(~F.col("__allowed")).drop("__allowed")
 
     # 3. politeness clip → this round's wave, with a deterministic total
-    #    fetch order (O3 invariant)
-    wave = clip_wave(allowed, budgets_df, cfg.default_budget,
-                     cfg.salt_buckets)
+    #    fetch order (O3 invariant). The clipped wave is persisted across
+    #    the rank: global_rank's repartitionByRange SAMPLES its child to
+    #    pick range boundaries, so an unpersisted clip chain (two windows
+    #    + the Bloom-routed anti-join, Python UDF included on Bloom
+    #    rounds) executes TWICE per round — once for the sampling pass,
+    #    once for the real exchange (guide §2.4: remove recomputed
+    #    subtrees). The wave is budget-bounded (≤ budget × hosts) by
+    #    construction, so the cache is wave-sized, never frontier-sized;
+    #    released right after the staged write materializes.
+    clipped = clip_wave(allowed, budgets_df, cfg.default_budget,
+                        cfg.salt_buckets).persist()
     # total fetch order in parallel (a bare Window.orderBy would funnel the
     # whole wave through one task); identical ranks at any parallelism
     wave = global_rank(
-        wave, [F.col("priority").desc(), F.col("url_hash").asc()],
+        clipped, [F.col("priority").desc(), F.col("url_hash").asc()],
         rank_col="fetch_order",
         small_threshold=cfg.rank_small_threshold)
 
@@ -550,16 +558,16 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
     # has no body at all — so without a flaky dim the column is provably
     # all-null and is not even written.
     keep_err_html = flaky_df is not None
+    status_expr = (
+        F.when(F.col("html").isNull(), F.lit(404))
+         .when(F.col("attempts") < F.coalesce(F.col("fail_times"),
+                                              F.lit(0)), F.lit(503))
+         .otherwise(F.lit(200)))
     wide = (
         fetched
-        .withColumn(
-            "status",
-            F.when(F.col("html").isNull(), F.lit(404))
-             .when(F.col("attempts") < F.coalesce(F.col("fail_times"),
-                                                  F.lit(0)), F.lit(503))
-             .otherwise(F.lit(200)))
-        .withColumn("page", extract_page(
-            F.when(F.col("status") == 200, F.col("html"))))
+        .select("*", status_expr.alias("status"))
+        .select("*", extract_page(
+            F.when(F.col("status") == 200, F.col("html"))).alias("page"))
         .select(
             "url", "url_hash", "host",
             F.lit(k).alias("round"), "fetch_order", "status",
@@ -581,6 +589,7 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
                     "status", "text", *curation_names, "lineage")
     t0 = _prof("plan building", t0)
     frag = lake.stage(wide, "results")
+    clipped.unpersist()
     t0 = _prof("stage wave artifact (fetch, extract, write)", t0)
     extracted = lake.read_fragment(spark, frag)
     if not keep_err_html:
@@ -633,10 +642,11 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
         # hrefs may be relative / scheme-relative / fragment-only — resolve
         # against the parent page (RFC 3986 §5) before canonicalizing;
         # non-fetchable schemes (mailto:, javascript:) resolve to NULL
-        .withColumn("url", resolve_link(F.col("parent_url"),
-                                        F.col("raw_link")))
+        .select(resolve_link(F.col("parent_url"),
+                             F.col("raw_link")).alias("url"),
+                "parent_priority", "parent_url", "seed_index")
         .filter(F.col("url").isNotNull() & (F.col("url") != ""))
-        .withColumn("host", url_host(F.col("url")))
+        .select("*", url_host(F.col("url")).alias("host"))
     )
     # discovered links pass the alias dim too — a link to an aliased
     # mirror must collapse to the canonical host's identity
@@ -644,14 +654,22 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
     # cached: discovery (link resolve + canonicalize + hash, the round's
     # other Arrow-UDF pass) feeds the distinct-discovered metric, the
     # frontier merge, and (blend mode) the edges append — without the
-    # cache each consumer re-ran the Python resolve/hash work
+    # cache each consumer re-ran the Python resolve/hash work.
+    # (one select, not a withColumn chain: each withColumn is a separate
+    # py4j round-trip + analysis pass, and run_round builds this plan
+    # every scheduling round — driver plan-building is a measured phase)
     discovered = (
         discovered
-        .withColumn("url_hash", url_hash_col(F.col("url")))
-        .withColumn("priority",
-                    F.col("parent_priority") * F.lit(cfg.priority_decay))
-        .withColumn("round", F.lit(k + 1))
-        .withColumn("attempts", F.lit(0))
+        .select(
+            "url",
+            url_hash_col(F.col("url")).alias("url_hash"),
+            "host",
+            (F.col("parent_priority") * F.lit(cfg.priority_decay))
+            .alias("priority"),
+            F.lit(k + 1).alias("round"),
+            "parent_url", "seed_index",
+            F.lit(0).alias("attempts"),
+        )
         .select(*FRONTIER_COLS)
         .cache()
     )
@@ -701,12 +719,11 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
     # per outcome group) before truncation was detectable. The Bloom fold
     # below instead gates on the count this job already produced and runs
     # its own bounded collect.
-    # materialize the discovery cache under its own phase label: link
-    # resolve + canonicalize + hash is the round's second Arrow-UDF pass
-    # (the first — fetch join + fused extract — was billed to the staged
-    # write above). The aggregates below then measurably cost ~nothing.
-    discovered.count()
-    t0 = _prof("discovery materialize (links resolve+hash)", t0)
+    # the discovery cache (link resolve + canonicalize + hash — the
+    # round's second Arrow-UDF pass) materializes inside the metrics job
+    # below: a separate .count() action only to bill the phase was one
+    # whole extra job per round for telemetry's sake. The combined job is
+    # billed under one label.
     metric_rows = (
         newly_seen.groupBy("outcome").agg(F.count("*").alias("n"))
         .unionByName(
@@ -718,7 +735,7 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
             .select(F.lit("discovered").alias("outcome"), "n"))
     ).collect()
     outcome_counts = {r["outcome"]: r["n"] for r in metric_rows}
-    t0 = _prof("metrics counts", t0)
+    t0 = _prof("metrics counts (incl discovery materialize)", t0)
     n_ok = outcome_counts.get("fetched", 0)
     n_404 = outcome_counts.get("fetched_404", 0)
     n_gave_up = outcome_counts.get("failed_gave_up", 0)
