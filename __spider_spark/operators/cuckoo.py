@@ -48,14 +48,25 @@ class CuckooFilter:
 
     def __init__(self, n_buckets: int,
                  buckets: np.ndarray | None = None,
-                 overflow: set[tuple[int, int]] | None = None):
+                 overflow=None):
         assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be 2^k"
         self.nb = n_buckets
         self.buckets = (buckets if buckets is not None
                         else np.zeros((n_buckets, 4), dtype=np.uint16))
         # orphaned (bucket, fingerprint) pairs from failed kick chains —
-        # membership falls back here, so inserts NEVER lose a key
-        self.overflow: set[tuple[int, int]] = overflow or set()
+        # membership falls back here, so inserts NEVER lose a key. A
+        # MULTISET (pair -> count), not a set (ADVICE r6): two distinct
+        # keys can orphan to the same (bucket, fp) pair, and collapsing
+        # them would let one later delete discard both copies — turning
+        # the surviving key into a false negative and breaking the
+        # "reject = definitely unseen" routing contract.
+        self.overflow: dict[tuple[int, int], int] = {}
+        if overflow:
+            items = overflow.items() if isinstance(overflow, dict) \
+                else ((pair, 1) for pair in overflow)
+            for pair, n in items:
+                p = (int(pair[0]), int(pair[1]))
+                self.overflow[p] = self.overflow.get(p, 0) + int(n)
 
     @classmethod
     def sized(cls, n_keys: int) -> "CuckooFilter":
@@ -120,7 +131,7 @@ class CuckooFilter:
             s = fp & 3  # deterministic eviction slot — no RNG
             fp, row[s] = int(row[s]), fp
             i = (i ^ (fp * _ALT_MULT)) & (self.nb - 1)
-        self.overflow.add((i, fp))
+        self.overflow[(i, fp)] = self.overflow.get((i, fp), 0) + 1
 
     def contains_many(self, keys: np.ndarray) -> np.ndarray:
         if len(keys) == 0:
@@ -154,27 +165,53 @@ class CuckooFilter:
                     row[hit[0]] = 0
                     done = True
                     break
-                if (i, fp) in self.overflow:
-                    self.overflow.discard((i, fp))
+                n_over = self.overflow.get((i, fp), 0)
+                if n_over:
+                    # remove ONE copy; other keys orphaned to the same
+                    # pair keep theirs (no-false-negative contract)
+                    if n_over > 1:
+                        self.overflow[(i, fp)] = n_over - 1
+                    else:
+                        del self.overflow[(i, fp)]
                     done = True
                     break
             removed += done
         return removed
 
-    def merge_pairs(self, buckets: np.ndarray,
-                    overflow: set[tuple[int, int]]) -> None:
+    def merge_pairs(self, buckets: np.ndarray, overflow) -> None:
         """Fold another table's occupied (bucket, fingerprint) slots into
         this filter — the alternate bucket is i ^ h(f), so no keys are
-        needed (partial-key hashing)."""
+        needed (partial-key hashing). ``overflow`` is a pair->count
+        multiset (or an iterable of pairs, each counted once)."""
         assert buckets.shape == self.buckets.shape
         rows, cols = np.nonzero(buckets)
         for i, s in zip(rows, cols):
             self._insert_kick(int(i), int(buckets[i, s]))
-        for i, fp in overflow:
-            self._insert_kick(int(i), int(fp))
+        items = overflow.items() if isinstance(overflow, dict) \
+            else ((pair, 1) for pair in overflow)
+        for (i, fp), n in items:
+            for _ in range(int(n)):
+                self._insert_kick(int(i), int(fp))
 
     def tobytes(self) -> bytes:
         return self.buckets.tobytes()
+
+    def overflow_triples(self) -> tuple[tuple[int, int, int], ...]:
+        """Serializable (bucket, fp, count) view of the overflow
+        multiset (sorted — deterministic payloads)."""
+        return tuple((i, fp, n)
+                     for (i, fp), n in sorted(self.overflow.items()))
+
+
+def _overflow_multiset(entries) -> dict[tuple[int, int], int]:
+    """Rebuild the pair->count multiset from serialized entries:
+    (bucket, fp, count) triples, or legacy (bucket, fp) pairs = count 1."""
+    out: dict[tuple[int, int], int] = {}
+    for e in entries or ():
+        e = tuple(int(x) for x in e)
+        pair, n = (e[:2], e[2]) if len(e) == 3 else (e, 1)
+        out[pair] = out.get(pair, 0) + n
+    return out
 
 
 def build_partitioned_cuckoo(
@@ -192,7 +229,8 @@ def build_partitioned_cuckoo(
         cf = CuckooFilter(buckets_per_part)
         cf.add_many(pdf[key_col].to_numpy(dtype=np.int64))
         part = int(pdf["__part"].iloc[0])
-        over = ";".join(f"{i},{fp}" for i, fp in sorted(cf.overflow))
+        over = ";".join(f"{i},{fp},{n}"
+                        for (i, fp, n) in cf.overflow_triples())
         return pd.DataFrame({"part": [part], "buckets": [cf.tobytes()],
                              "overflow": [over]})
 
@@ -239,6 +277,27 @@ class SeenCuckoo:
                 p, CuckooFilter(self.buckets_per_part))
             cf.add_many(arr)
             self.n_keys += len(arr)
+            self._check_load(p, cf)
+
+    def _check_load(self, p: int, cf: CuckooFilter) -> None:
+        """ADVICE r6: the fixed-size tables degrade SILENTLY past ~0.9
+        load (every further insert lands in the driver-side python
+        overflow and miss checks fall off the vectorized path). Make the
+        cliff loud once per partition; the operator keeps working —
+        correctness never depends on the table, only routing speed."""
+        if getattr(self, "_load_warned", None) is None:
+            self._load_warned: set[int] = set()
+        if p in self._load_warned:
+            return
+        occupied = int((cf.buckets != 0).sum()) + sum(cf.overflow.values())
+        if occupied > 0.9 * cf.nb * 4:
+            self._load_warned.add(p)
+            import warnings
+            warnings.warn(
+                f"SeenCuckoo partition {p} at load "
+                f"{occupied / (cf.nb * 4):.2f} (> 0.9): inserts will "
+                f"spill to the python overflow path — rebuild with more "
+                f"buckets_per_part", RuntimeWarning, stacklevel=2)
 
     def delete(self, keys) -> int:
         removed = 0
@@ -258,7 +317,7 @@ class SeenCuckoo:
             tbl = np.frombuffer(bts, dtype=np.uint16).reshape(-1, 4)
             cur = self.parts.setdefault(
                 p, CuckooFilter(self.buckets_per_part))
-            cur.merge_pairs(tbl, set(map(tuple, over)))
+            cur.merge_pairs(tbl, _overflow_multiset(over))
         self.n_keys += n_new
 
     def rebuild(self, seen: DataFrame, key_col: str = "url_hash") -> None:
@@ -268,13 +327,13 @@ class SeenCuckoo:
             p: CuckooFilter(
                 self.buckets_per_part,
                 np.frombuffer(bts, dtype=np.uint16).reshape(-1, 4).copy(),
-                set(map(tuple, over)))
+                _overflow_multiset(over))
             for p, (bts, over) in raw.items()
         }
         self.n_keys = seen.count()
 
     def udf(self, spark: SparkSession):
-        payload = {p: (cf.tobytes(), tuple(cf.overflow))
+        payload = {p: (cf.tobytes(), cf.overflow_triples())
                    for p, cf in self.parts.items()}
         n_parts, bpp = self.n_parts, self.buckets_per_part
         bc = spark.sparkContext.broadcast(payload)
@@ -285,7 +344,7 @@ class SeenCuckoo:
                 p: CuckooFilter(
                     bpp,
                     np.frombuffer(bts, dtype=np.uint16).reshape(-1, 4),
-                    set(map(tuple, over)))
+                    _overflow_multiset(over))
                 for p, (bts, over) in bc.value.items()
             }
             arr = keys.to_numpy(dtype=np.int64)

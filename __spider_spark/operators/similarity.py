@@ -51,11 +51,11 @@ def cosine_topk(
     exclude_id: int | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine similarity; deterministic tie-break on id.
-    The input is spread first so the per-row dot product is not
-    serialized onto a single row group's scan task (scale-gated — see
-    dedup.spread_small_input)."""
-    from .dedup import spread_small_input
-    df = spread_small_input(emb_df)
+    (Measured note, r7: spreading the scan here like the dedup chains do
+    was tried and REGRESSED q22 0.5s -> 1.0s at sf1.0 — the per-row dot
+    product is too cheap to amortize the extra exchange, unlike the
+    md5-per-shingle chains. Left as a plain scan on purpose.)"""
+    df = emb_df
     if exclude_id is not None:
         df = df.filter(F.col(id_col) != exclude_id)
     scored = df.select(

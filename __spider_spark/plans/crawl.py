@@ -266,6 +266,20 @@ class CrawlConfig:
             raise ValueError(
                 "content_components folds the dup pairs content_dedup "
                 "produces — enable content_dedup too")
+        if self.content_dedup and self.recrawl_ttl_rounds:
+            # ADVICE r6 (medium): a refreshed page's second 200 fetch
+            # re-enters the wave while its url_hash is already in the
+            # content_bands index and the results corpus — violating
+            # delta_near_dedup's disjoint-id contract (duplicate band
+            # rows, doc_a==doc_b self-pairs, double-counted shingles in
+            # the Jaccard verify). Refuse the combination loudly until
+            # the delta path is made recrawl-safe (anti-join the wave
+            # against the index's doc_ids + latest-row text resolution).
+            raise ValueError(
+                "content_dedup is not recrawl-safe: a re-fetched page "
+                "would re-enter the band index under its existing doc_id "
+                "and corrupt the incremental dedup state — disable one "
+                "of content_dedup / recrawl_ttl_rounds")
 
 
 def resolve_seen(seen: DataFrame) -> DataFrame:
@@ -278,19 +292,36 @@ def resolve_seen(seen: DataFrame) -> DataFrame:
     (round_seen, outcome != "unseen") — a re-fetch in the SAME round as
     its tombstone outranks it — then drop resolved tombstones. Identity
     on a tombstone-free table; only applied when recrawl is configured,
-    so non-refresh crawls keep the exact current plan. max_by gets
-    map-side partial aggregation (no window sort)."""
+    so non-refresh crawls keep the exact current plan.
+
+    Shuffle shape (r6 VERDICT "what's wrong" #3 — the old form aggregated
+    EVERY url_hash, an O(corpus) shuffle per refresh round): only keys
+    that actually carry a tombstone can resolve to anything other than
+    their single row, so the max_by aggregate is restricted to the
+    tombstone key set (a semi-join the optimizer serves as a broadcast —
+    the tombstone side is O(accumulated due), wave-scale) and the
+    untouched remainder streams through an anti-join with no shuffle at
+    all. Between tombstones a key has exactly one live row (the anti-join
+    blocks re-fetch while seen), so pass-through ≡ aggregate on the
+    untouched slice — equivalence pinned by tests/test_recrawl.py and the
+    shuffle bound by test_resolve_seen_shuffles_tombstones_only."""
+    tomb_keys = (seen.filter(F.col("outcome") == "unseen")
+                 .select("url_hash").distinct())
+    untouched = seen.join(tomb_keys, "url_hash", "left_anti")
     key = F.struct(
         F.col("round_seen").alias("k1"),
         (F.col("outcome") != "unseen").cast("int").alias("k2"),
     )
     cols = [c for c in seen.columns if c != "url_hash"]
-    return (
-        seen.groupBy("url_hash")
+    resolved = (
+        seen.join(tomb_keys, "url_hash", "left_semi")
+        .groupBy("url_hash")
         .agg(F.max_by(F.struct(*cols), key).alias("__r"))
         .select("url_hash", "__r.*")
         .filter(F.col("outcome") != "unseen")
     )
+    return untouched.select(seen.columns).unionByName(
+        resolved.select(seen.columns))
 
 
 def _dedup_frontier(df: DataFrame) -> DataFrame:
@@ -489,6 +520,11 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
             and bloom.n_keys >= cfg.bloom_min_seen):
         bloom_udf = bloom.udf(spark)
     candidates = filter_unseen(frontier, seen, bloom_udf)
+    # (an observed blocked-count on the flagged cache was tried in r7 and
+    # reverted: CollectMetrics under .cache() yields a schemaless metrics
+    # row when the cache materializes through a non-SQL sub-job — the
+    # blocked count stays a branch of the metrics job instead)
+    from pyspark.sql import Observation
     flagged = robots_gate(candidates, rules_df).cache()
     allowed = flagged.filter(F.col("__allowed")).drop("__allowed")
     blocked = flagged.filter(~F.col("__allowed")).drop("__allowed")
@@ -587,9 +623,26 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
     )
     results_cols = ("url", "url_hash", "host", "round", "fetch_order",
                     "status", "text", *curation_names, "lineage")
+    # wave outcome counts ride the staged write as observed metrics
+    # (CollectMetrics — a free driver-side accumulator on the job that
+    # runs anyway), so the metrics job below no longer re-reads the
+    # fragment to group by outcome. Blocked rides the flagged cache's
+    # observation; only the discovered count needs its own aggregate.
+    gave_up_now = F.col("attempts") + 1 >= F.lit(cfg.max_attempts)
+    obs = Observation()
+    wide = wide.observe(
+        obs,
+        F.count(F.when(F.col("status") == 200, 1)).alias("n_ok"),
+        F.count(F.when(F.col("status") == 404, 1)).alias("n_404"),
+        F.count(F.when((F.col("status") == 503) & gave_up_now, 1))
+        .alias("n_gave_up"),
+        F.count(F.when((F.col("status") == 503) & ~gave_up_now, 1))
+        .alias("n_retried"),
+    )
     t0 = _prof("plan building", t0)
     frag = lake.stage(wide, "results")
     clipped.unpersist()
+    wave_counts = obs.get
     t0 = _prof("stage wave artifact (fetch, extract, write)", t0)
     extracted = lake.read_fragment(spark, frag)
     if not keep_err_html:
@@ -721,14 +774,15 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
     # its own bounded collect.
     # the discovery cache (link resolve + canonicalize + hash — the
     # round's second Arrow-UDF pass) materializes inside the metrics job
-    # below: a separate .count() action only to bill the phase was one
-    # whole extra job per round for telemetry's sake. The combined job is
-    # billed under one label.
+    # below. Wave outcome counts arrived free with the staged write
+    # (observed metrics above), so this job only aggregates the two
+    # relations the wave artifact can't see: robots-blocked rows (cached
+    # flagged) and the distinct-discovered count (must be exact — the
+    # metrics table is simulator-pinned — and distinct aggregates are
+    # not allowed in observations).
     metric_rows = (
-        newly_seen.groupBy("outcome").agg(F.count("*").alias("n"))
-        .unionByName(
-            retries.agg(F.count("*").alias("n"))
-            .select(F.lit("retried_503").alias("outcome"), "n"))
+        blocked.agg(F.count("*").alias("n"))
+        .select(F.lit("robots_blocked").alias("outcome"), "n")
         .unionByName(
             discovered.agg(
                 F.count_distinct("url_hash").alias("n"))
@@ -736,12 +790,12 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
     ).collect()
     outcome_counts = {r["outcome"]: r["n"] for r in metric_rows}
     t0 = _prof("metrics counts (incl discovery materialize)", t0)
-    n_ok = outcome_counts.get("fetched", 0)
-    n_404 = outcome_counts.get("fetched_404", 0)
-    n_gave_up = outcome_counts.get("failed_gave_up", 0)
-    n_blocked = outcome_counts.get("robots_blocked", 0)
-    n_retried = outcome_counts.get("retried_503", 0)
-    n_discovered = outcome_counts.get("discovered", 0)
+    n_ok = int(wave_counts["n_ok"])
+    n_404 = int(wave_counts["n_404"])
+    n_gave_up = int(wave_counts["n_gave_up"])
+    n_blocked = int(outcome_counts.get("robots_blocked", 0))
+    n_retried = int(wave_counts["n_retried"])
+    n_discovered = int(outcome_counts.get("discovered", 0))
     metrics_row = {
         "round": k, "wave": n_ok + n_404 + n_gave_up + n_retried,
         "fetched_200": n_ok, "fetched_404": n_404,
@@ -780,8 +834,26 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
             return None  # frontier exhausted; nothing to commit
 
     # results publish = manifest projection of the already-written wave
-    # artifact (zero extra write; see the staged-write comment above)
-    appends = {"seen": newly_seen,
+    # artifact (zero extra write; see the staged-write comment above).
+    # In the common bounded-wave case the driver Bloom's newly-seen keys
+    # ride the seen WRITE as an observed collect_list — no dedicated
+    # collect job at all. The count gate runs BEFORE any job: every term
+    # of n_new_seen came from observations on jobs already finished, so
+    # the collect buffer is provably ≤ bloom_inline_max keys when the
+    # write launches (a strictly earlier gate than the old post-metrics
+    # collect). The observed copy feeds ONLY the seen append; all other
+    # consumers (removal_keys, the metrics that were here before) keep
+    # the unobserved plan, so the observation fires exactly once, on the
+    # committed write.
+    n_new_seen = n_ok + n_404 + n_gave_up + n_blocked
+    obs_seen = None
+    seen_append = newly_seen
+    if (bloom is not None and 0 < n_new_seen
+            <= max(int(cfg.bloom_inline_max), 0)):
+        obs_seen = Observation()
+        seen_append = newly_seen.observe(
+            obs_seen, F.collect_list("url_hash").alias("h"))
+    appends = {"seen": seen_append,
                "results": StagedFragment(frag.path, results_cols),
                "errors": errors, "metrics": metrics}
     # the metrics counts are already on the driver — drop writes that are
@@ -923,30 +995,20 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
         appends["seen"] = (
             tombstones if "seen" not in appends
             else appends["seen"].unionByName(tombstones))
-    lake.commit(
-        k,
-        append=appends,
-        replace=replace,
-    )
+    lake.commit(k, append=appends, replace=replace)
     t0 = _prof("commit (5 table writes)", t0)
-    if bloom is not None:
-        n_new_seen = n_ok + n_404 + n_gave_up + n_blocked
-        if n_new_seen <= max(int(cfg.bloom_inline_max), 0):
-            # common case (waves are budget-bounded): the COUNT from the
-            # metrics job proves boundedness BEFORE this job runs, so the
-            # collect_list buffer is ≤ bloom_inline_max longs by
-            # construction (the ADVICE r3 hazard was running it UNgated).
-            # One array in one row beats a 50k-row collect: py4j
-            # serializes per row, ~10x slower than one array value.
-            row = newly_seen.agg(
-                F.collect_list("url_hash").alias("h")).first()
-            bloom.update(row["h"])
-            t0 = _prof("bloom inline collect+fold", t0)
+    if bloom is not None and n_new_seen > 0:
+        if obs_seen is not None:
+            # the keys were collected by the seen write inside the commit
+            # (observed metric, bounded by the pre-job count gate above);
+            # folding them is a pure driver-side numpy OR — zero jobs.
+            bloom.update(obs_seen.get["h"])
+            t0 = _prof("bloom fold (observed, no job)", t0)
         else:
-            # executor-built sketch delta over this round's newly-seen
-            # keys, merged into the driver filter (no row collect) —
-            # dispatched through the filter object so Bloom and cuckoo
-            # share the crawl plan
+            # big-wave fallback: executor-built sketch delta over this
+            # round's newly-seen keys, merged into the driver filter (no
+            # row collect) — dispatched through the filter object so
+            # Bloom and cuckoo share the crawl plan
             bloom.merge_raw(bloom.delta_raw(newly_seen), n_new_seen)
             t0 = _prof("bloom delta build+merge", t0)
     flagged.unpersist()

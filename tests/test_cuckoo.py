@@ -107,3 +107,36 @@ def test_crawl_with_cuckoo_matches_bloom(spark):
         }
         lake.destroy()
     assert tables["bloom"] == tables["cuckoo"]
+
+
+def test_overflow_is_multiset_no_false_negative_after_delete():
+    """ADVICE r6: two DISTINCT keys orphaned to the same (bucket, fp)
+    pair must keep two overflow copies — deleting one key must not make
+    the other a false negative (the no-false-negative routing
+    contract)."""
+    import numpy as np
+
+    from __spider_spark.operators.cuckoo import CuckooFilter
+
+    cf = CuckooFilter(8)
+    # find two distinct keys with identical (fingerprint, bucket pair)
+    seen: dict[tuple, int] = {}
+    pair = None
+    for k in range(200000):
+        f, i1, i2 = cf._parts(np.array([k], dtype=np.int64))
+        sig = (int(f[0]), min(int(i1[0]), int(i2[0])),
+               max(int(i1[0]), int(i2[0])))
+        if sig in seen and seen[sig] != k:
+            pair = (seen[sig], k)
+            break
+        seen[sig] = k
+    assert pair is not None, "no colliding key pair found in search range"
+    a, b = pair
+    # fill every slot so both keys orphan into overflow
+    cf.buckets[:] = np.uint16(0xFFFF)
+    cf.add_many(np.array([a, b], dtype=np.int64))
+    assert sum(cf.overflow.values()) == 2
+    assert cf.delete_many(np.array([a], dtype=np.int64)) == 1
+    # the OTHER key's copy must survive the delete
+    assert bool(cf.contains_many(np.array([b], dtype=np.int64))[0]), (
+        "false negative: deleting key a discarded key b's overflow copy")
