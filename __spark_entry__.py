@@ -943,11 +943,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             wave_bands, pairs = delta_near_dedup(
                 wave, texts, index_bands, n_hashes=16, n_bands=8,
                 rows_per_band=2, k=3, threshold=0.5)
+            # materialize each wave's index/pair state (the crawl loop's
+            # persisted-lakehouse-table analogue): without it the next
+            # wave's plan embeds THIS wave's whole signature+verify tree,
+            # so the 3-wave query compounded to a 700+-Exchange plan the
+            # driver spent 10+ s just optimizing (r7; q57 already does
+            # this). Values are identical — localCheckpoint only cuts
+            # lineage.
             wave_losers = pairs.select(F.col("doc_b").alias("doc_id"))
-            losers = wave_losers if losers is None \
-                else losers.unionByName(wave_losers)
-            index_bands = wave_bands if index_bands is None \
-                else index_bands.unionByName(wave_bands)
+            losers = (wave_losers if losers is None
+                      else losers.unionByName(wave_losers)).localCheckpoint()
+            index_bands = (wave_bands if index_bands is None
+                           else index_bands.unionByName(wave_bands)
+                           ).localCheckpoint()
         return docs.select("doc_id").join(losers.distinct(), "doc_id",
                                           "left_anti")
     q["q55_delta_near_dedup"] = q55
@@ -965,10 +973,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             wave = sim.filter(F.col("doc_id") % 3 == w)
             wave_bands, new_pairs = delta_simhash_pairs(
                 wave, index_bands, n_bands=4, max_hamming=3)
-            pairs = new_pairs if pairs is None \
-                else pairs.unionByName(new_pairs)
-            index_bands = wave_bands if index_bands is None \
-                else index_bands.unionByName(wave_bands)
+            # per-wave materialization — see the q55 note (the persisted
+            # band index analogue; identical values, bounded plan depth)
+            pairs = (new_pairs if pairs is None
+                     else pairs.unionByName(new_pairs)).localCheckpoint()
+            index_bands = (wave_bands if index_bands is None
+                           else index_bands.unionByName(wave_bands)
+                           ).localCheckpoint()
         return pairs
     q["q56_delta_simhash_pairs"] = q56
 

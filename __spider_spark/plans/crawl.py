@@ -525,9 +525,25 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
     # row when the cache materializes through a non-SQL sub-job — the
     # blocked count stays a branch of the metrics job instead)
     from pyspark.sql import Observation
-    flagged = robots_gate(candidates, rules_df).cache()
-    allowed = flagged.filter(F.col("__allowed")).drop("__allowed")
-    blocked = flagged.filter(~F.col("__allowed")).drop("__allowed")
+    if rules_df is None:
+        # no robots dim: every candidate is allowed and ``blocked`` is
+        # empty BY CONSTRUCTION. The generic path can't exploit that —
+        # the lit(True) gate column loses its literal-ness through the
+        # cache boundary, so every blocked branch (seen union, metrics
+        # aggregate, bloom collect input) stayed a real scan+filter.
+        # Specialize: no gate column, no cache (the clipped-wave persist
+        # downstream is the only multi-consumer materialization point),
+        # blocked = None prunes every downstream branch at plan-build
+        # time.
+        flagged = candidates
+        allowed = candidates
+        blocked = None
+        flagged_cached = False
+    else:
+        flagged = robots_gate(candidates, rules_df).cache()
+        allowed = flagged.filter(F.col("__allowed")).drop("__allowed")
+        blocked = flagged.filter(~F.col("__allowed")).drop("__allowed")
+        flagged_cached = True
 
     # 3. politeness clip → this round's wave, with a deterministic total
     #    fetch order (O3 invariant). The clipped wave is persisted across
@@ -741,12 +757,12 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
             extracted.filter((F.col("status") == 503) & gave_up_cond)
             .select("url_hash", "url",
                     F.lit("failed_gave_up").alias("outcome")))
-        .unionByName(
-            blocked.select("url_hash", "url")
-            .withColumn("outcome", F.lit("robots_blocked"))
-        )
-        .withColumn("round_seen", F.lit(k))
     )
+    if blocked is not None:
+        newly_seen = newly_seen.unionByName(
+            blocked.select("url_hash", "url")
+            .withColumn("outcome", F.lit("robots_blocked")))
+    newly_seen = newly_seen.withColumn("round_seen", F.lit(k))
     removal_keys = newly_seen.select("url_hash").unionByName(
         extracted.select("url_hash"))
     if seen is not None:
@@ -780,14 +796,13 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
     # flagged) and the distinct-discovered count (must be exact — the
     # metrics table is simulator-pinned — and distinct aggregates are
     # not allowed in observations).
-    metric_rows = (
-        blocked.agg(F.count("*").alias("n"))
-        .select(F.lit("robots_blocked").alias("outcome"), "n")
-        .unionByName(
-            discovered.agg(
-                F.count_distinct("url_hash").alias("n"))
-            .select(F.lit("discovered").alias("outcome"), "n"))
-    ).collect()
+    metrics_agg = (discovered.agg(F.count_distinct("url_hash").alias("n"))
+                   .select(F.lit("discovered").alias("outcome"), "n"))
+    if blocked is not None:
+        metrics_agg = metrics_agg.unionByName(
+            blocked.agg(F.count("*").alias("n"))
+            .select(F.lit("robots_blocked").alias("outcome"), "n"))
+    metric_rows = metrics_agg.collect()
     outcome_counts = {r["outcome"]: r["n"] for r in metric_rows}
     t0 = _prof("metrics counts (incl discovery materialize)", t0)
     n_ok = int(wave_counts["n_ok"])
@@ -828,7 +843,8 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
                              .limit(1).count() > 0)))
         if not recrawl_pending and not (
                 cfg.budget_carry and flagged.limit(1).count() > 0):
-            flagged.unpersist()
+            if flagged_cached:
+                flagged.unpersist()
             discovered.unpersist()
             lake.discard_staged(frag)
             return None  # frontier exhausted; nothing to commit
@@ -1011,7 +1027,8 @@ def run_round(spark: SparkSession, lake: Lakehouse, pages_idx: DataFrame,
             # Bloom and cuckoo share the crawl plan
             bloom.merge_raw(bloom.delta_raw(newly_seen), n_new_seen)
             t0 = _prof("bloom delta build+merge", t0)
-    flagged.unpersist()
+    if flagged_cached:
+        flagged.unpersist()
     discovered.unpersist()
     if discard_after_round:
         lake.discard_staged(frag)

@@ -59,6 +59,26 @@ def cmd_plans(outdir: str, names: list[str]) -> None:
         print(f"wrote {out / (name + '.txt')}")
 
 
+def cmd_execplans(outdir: str, names: list[str]) -> None:
+    """Executed (post-AQE) plans: runs each query through the noop sink
+    and dumps executedPlan().toString() — this is where runtime effects
+    like ReusedExchange / AQEShuffleRead / skew splits are visible, which
+    the pre-execution `plans` output cannot show."""
+    spark = _spark()
+    qs = entrymod.queries()
+    out = Path(outdir)
+    out.mkdir(parents=True, exist_ok=True)
+    for name in names or qs.keys():
+        try:
+            df = qs[name](spark, SF_DIR)
+            df.collect()  # a write would execute a SEPARATE QueryExecution
+            txt = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # pragma: no cover - capture tool
+            txt = f"EXEC PLAN FAILED: {e}\n"
+        (out / f"{name}.txt").write_text(txt)
+        print(f"wrote {out / (name + '.txt')}")
+
+
 def cmd_time(names: list[str]) -> None:
     spark = _spark()
     qs = entrymod.queries()
@@ -126,6 +146,8 @@ def main() -> None:
     cmd = sys.argv[1] if len(sys.argv) > 1 else "time"
     if cmd == "plans":
         cmd_plans(sys.argv[2], sys.argv[3:])
+    elif cmd == "execplans":
+        cmd_execplans(sys.argv[2], sys.argv[3:])
     elif cmd == "time":
         cmd_time(sys.argv[2:])
     elif cmd == "crawl":
