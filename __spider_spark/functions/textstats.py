@@ -46,16 +46,33 @@ TOKENS_SQL = (
 )
 
 
+# Each stat builder has a ``*_from`` twin taking an ALREADY-MATERIALIZED
+# token-array column. Consumers that need several stats per row should
+# project ``tokens(text)`` ONCE and use the ``_from`` forms: the text-col
+# conveniences below inline the regex split per use, and a multi-stat
+# projection (q20's four stats = 18 embedded splits) re-tokenizes the doc
+# per stat — codegen CSE does not reach across the interpreted
+# higher-order lambdas (measured 3.7s -> 1.9s at sf1.0 from this alone;
+# same discipline as dedup.shingles_from).
+
+
+def token_count_from(toks: Column) -> Column:
+    return F.size(toks)
+
+
 def token_count(col: Column) -> Column:
-    return F.size(tokens(col))
+    return token_count_from(tokens(col))
 
 
-def stopword_ratio(col: Column) -> Column:
+def stopword_ratio_from(toks: Column) -> Column:
     """Fraction of tokens that are stopwords (0.0 for empty docs)."""
-    toks = tokens(col)
     n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
     return F.when(F.size(toks) == 0, F.lit(0.0)) \
             .otherwise(n_stop / F.size(toks))
+
+
+def stopword_ratio(col: Column) -> Column:
+    return stopword_ratio_from(tokens(col))
 
 
 def ascii_ratio(col: Column) -> Column:
@@ -65,23 +82,30 @@ def ascii_ratio(col: Column) -> Column:
     return F.when(n == 0, F.lit(1.0)).otherwise(n_ascii / n)
 
 
-def mean_token_len(col: Column) -> Column:
-    toks = tokens(col)
+def mean_token_len_from(toks: Column) -> Column:
     total = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
     return F.when(F.size(toks) == 0, F.lit(0.0)) \
             .otherwise(total.cast("double") / F.size(toks))
 
 
-def quality_score(col: Column) -> Column:
+def mean_token_len(col: Column) -> Column:
+    return mean_token_len_from(tokens(col))
+
+
+def quality_score_from(toks: Column) -> Column:
     """Heuristic [0,1] quality: enough tokens, sane word length, some
     stopwords (the classic Gopher-style gates, simplified + deterministic)."""
-    tc = token_count(col).cast("double")
-    mwl = mean_token_len(col)
-    sr = stopword_ratio(col)
+    tc = token_count_from(toks).cast("double")
+    mwl = mean_token_len_from(toks)
+    sr = stopword_ratio_from(toks)
     gate_len = F.when((tc >= 10) & (tc <= 10000), 1.0).otherwise(0.0)
     gate_wl = F.when((mwl >= 2.0) & (mwl <= 12.0), 1.0).otherwise(0.0)
     gate_sw = F.when(sr >= 0.05, 1.0).otherwise(0.0)
     return F.round((gate_len + gate_wl + gate_sw) / F.lit(3.0), 4)
+
+
+def quality_score(col: Column) -> Column:
+    return quality_score_from(tokens(col))
 
 
 def lang_guess(col: Column) -> Column:
