@@ -829,11 +829,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # canonical form content fingerprints should key on
     def q49(spark, sf):
         from __spider_spark.operators.curation import normalize_text
-        t = F.col("text")
+        # normalization projected once; `changed` compares the column
+        # (the inline form ran the regex collapse twice per row)
         return _t(spark, sf, "documents").select(
-            "doc_id",
-            normalize_text(t).alias("norm_text"),
-            (normalize_text(t) != t).alias("changed"),
+            "doc_id", "text",
+            normalize_text(F.col("text")).alias("norm_text"),
+        ).select(
+            "doc_id", "norm_text",
+            (F.col("norm_text") != F.col("text")).alias("changed"),
         )
     q["q49_text_normalize"] = q49
 
